@@ -1,0 +1,93 @@
+"""Panorama image feature databases.
+
+Reference: ``ImageFeaturesDB`` (``finetune_src/r2r/data_utils.py:9-23``)
+reads HDF5 keyed ``{scan}_{viewpoint}`` -> (36, feat_dim) float32 with an
+*unbounded* in-RAM memo cache (a known defect at scale). We keep the same
+key scheme and add: an LRU bound, a pure in-memory DB, and a deterministic
+synthetic DB so tests and benchmarks run hermetically without Matterport
+data.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+NUM_VIEWS = 36
+
+
+class FeatureDB:
+    """get(scan, viewpoint) -> (36, feat_dim) float32."""
+
+    feat_dim: int
+
+    def get(self, scan: str, viewpoint: str) -> np.ndarray:
+        raise NotImplementedError
+
+    # Reference-compatible alias (data_utils.py:15)
+    def get_image_feature(self, scan: str, viewpoint: str) -> np.ndarray:
+        return self.get(scan, viewpoint)
+
+
+class HDF5FeatureDB(FeatureDB):
+    """HDF5-backed features with a bounded LRU cache.
+
+    The reference reopens the file per miss (data_utils.py:20); we keep a
+    persistent handle and bound the cache instead of growing forever.
+    """
+
+    def __init__(self, path: str, feat_dim: int, cache_items: int = 20_000):
+        import h5py  # local import: optional dependency at runtime
+
+        self.path = path
+        self.feat_dim = feat_dim
+        self._file = h5py.File(path, "r")
+        self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._cache_items = cache_items
+
+    def get(self, scan: str, viewpoint: str) -> np.ndarray:
+        key = f"{scan}_{viewpoint}"
+        ft = self._cache.get(key)
+        if ft is None:
+            ft = self._file[key][...][:, : self.feat_dim].astype(np.float32)
+            self._cache[key] = ft
+            if len(self._cache) > self._cache_items:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(key)
+        return ft
+
+
+class MemoryFeatureDB(FeatureDB):
+    def __init__(self, table: Dict[Tuple[str, str], np.ndarray], feat_dim: int):
+        self.table = table
+        self.feat_dim = feat_dim
+
+    def get(self, scan: str, viewpoint: str) -> np.ndarray:
+        return self.table[(scan, viewpoint)]
+
+
+class SyntheticFeatureDB(FeatureDB):
+    """Deterministic pseudo-random features keyed by (scan, viewpoint).
+
+    Used by the hermetic test/bench worlds. Features are a pure function
+    of the key and shape, stable across processes.
+    """
+
+    def __init__(self, feat_dim: int = 768, scale: float = 1.0, cache: bool = True):
+        self.feat_dim = feat_dim
+        self.scale = scale
+        self._cache: Optional[Dict[Tuple[str, str], np.ndarray]] = {} if cache else None
+
+    def get(self, scan: str, viewpoint: str) -> np.ndarray:
+        key = (scan, viewpoint)
+        if self._cache is not None and key in self._cache:
+            return self._cache[key]
+        seed = abs(hash(f"{scan}_{viewpoint}")) % (2**32)
+        rng = np.random.default_rng(seed)
+        ft = rng.standard_normal((NUM_VIEWS, self.feat_dim), dtype=np.float32) * self.scale
+        if self._cache is not None:
+            self._cache[key] = ft
+        return ft

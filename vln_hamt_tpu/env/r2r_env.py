@@ -1,0 +1,233 @@
+"""R2R-family task environment.
+
+Parity target: ``R2RBatch`` (``finetune_src/r2r/env.py:80-386``) —
+minibatching with shuffle-wraparound, per-step observations, fixed-step
+teacher actions, and the metric suite — rebuilt on the vectorized
+:class:`GraphSimulator` with dense per-scan tables and fixed-shape
+:class:`ObsBatch` outputs.
+
+Key structural change for TPU: :meth:`teacher_episode` rolls the whole
+teacher-forced episode on the host in one go and returns a time-stacked
+:class:`EpisodeBatch`, so IL training is a single device call instead of
+``max_action_len`` Python/GPU round trips.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..data.feature_db import FeatureDB
+from ..data.nav_graph import NavGraph
+from ..eval.metrics import aggregate_metrics, eval_r2r_item
+from .observation import IGNORE_ID, EpisodeBatch, ObsBatch, ObsSpec, make_obs_batch
+from .sim import GraphSimulator
+
+
+class R2RNavEnv:
+    def __init__(
+        self,
+        graphs: Dict[str, NavGraph],
+        feat_db: FeatureDB,
+        instr_data: List[dict],
+        spec: ObsSpec,
+        batch_size: int = 8,
+        max_instr_len: int = 60,
+        max_action_len: int = 15,
+        seed: int = 0,
+        name: Optional[str] = None,
+        sel_data_idxs: Optional[Tuple[int, int]] = None,
+        error_margin: float = 3.0,
+    ):
+        self.graphs = graphs
+        self.feat_db = feat_db
+        self.spec = spec
+        self.batch_size = batch_size
+        self.max_instr_len = max_instr_len
+        self.max_action_len = max_action_len
+        self.name = name
+        self.error_margin = error_margin
+
+        self.data = list(instr_data)
+        # ground truth over the FULL split, before rank sharding
+        # (env.py:92-93): evaluation joins sharded predictions later.
+        self.gt_trajs = {x["instr_id"]: (x["scan"], x["path"]) for x in self.data}
+        if sel_data_idxs is not None:  # rank-sharded validation (env.py:96-104)
+            t_split, n_splits = sel_data_idxs
+            per = len(self.data) // n_splits
+            start = per * t_split
+            end = None if t_split == n_splits - 1 else start + per
+            self.data = self.data[start:end]
+
+        self._rng = random.Random(seed)
+        self._rng.shuffle(self.data)
+        self.ix = 0
+        self.sim = GraphSimulator(graphs, batch_size)
+        self.batch: List[dict] = []
+        self._t = 0
+
+    # ------------------------------------------------------------------
+    def size(self) -> int:
+        return len(self.data)
+
+    def _next_minibatch(self, batch_size: Optional[int] = None) -> None:
+        """Shuffle-wraparound minibatching (env.py:149-165)."""
+        bs = batch_size or self.batch_size
+        batch = self.data[self.ix : self.ix + bs]
+        if len(batch) < bs:
+            self._rng.shuffle(self.data)
+            self.ix = bs - len(batch)
+            batch += self.data[: self.ix]
+        else:
+            self.ix += bs
+        self.batch = batch
+
+    def reset_epoch(self, shuffle: bool = False) -> None:
+        if shuffle:
+            self._rng.shuffle(self.data)
+        self.ix = 0
+
+    # ------------------------------------------------------------------
+    def _item_goal(self, item: dict) -> int:
+        return self.graphs[item["scan"]].index(item["path"][-1])
+
+    def _teacher_node(self, i: int) -> int:
+        """Fixed-step teacher (env.py:254-268 with t): path[t+1] while on
+        the ground-truth schedule, else STAY (current node)."""
+        item = self.batch[i]
+        g = self.graphs[item["scan"]]
+        path = item["path"]
+        if self._t < len(path) - 1:
+            return g.index(path[self._t + 1])
+        return int(self.sim.node[i])
+
+    def _observe(self) -> ObsBatch:
+        b = len(self.batch)
+        feats = [
+            self.feat_db.get(self.batch[i]["scan"],
+                             self.sim.graph(i).node_ids[self.sim.node[i]])
+            for i in range(b)
+        ]
+        goals = [self._item_goal(it) for it in self.batch]
+        teacher_nodes = [self._teacher_node(i) for i in range(b)]
+        return make_obs_batch(self.spec, self.sim, feats, goals, teacher_nodes)
+
+    def reset(self) -> ObsBatch:
+        self._next_minibatch()
+        self.sim.new_episodes(
+            [it["scan"] for it in self.batch],
+            [it["path"][0] for it in self.batch],
+            [it.get("heading", 0.0) for it in self.batch],
+        )
+        self._t = 0
+        return self._observe()
+
+    def step(self, actions: np.ndarray, obs: ObsBatch) -> ObsBatch:
+        """Apply action slots; -1 or the STOP slot is a no-op.
+
+        ``actions`` index into ``obs.cand_node``/``obs.cand_view``.
+        """
+        stop = self.spec.stop_slot
+        for i in range(len(self.batch)):
+            a = int(actions[i])
+            if a < 0 or a >= stop:
+                continue
+            tgt = int(obs.cand_node[i, a])
+            assert tgt >= 0, f"slot {i}: padded candidate {a} selected"
+            self.sim.move(i, tgt, int(obs.cand_view[i, a]))
+        self._t += 1
+        return self._observe()
+
+    # ------------------------------------------------------------------
+    def txt_batch(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, L) padded instruction ids + mask for the current batch."""
+        b = len(self.batch)
+        ids = np.zeros((b, self.max_instr_len), dtype=np.int32)
+        mask = np.zeros((b, self.max_instr_len), dtype=bool)
+        for i, item in enumerate(self.batch):
+            enc = item["instr_encoding"][: self.max_instr_len]
+            ids[i, : len(enc)] = enc
+            mask[i, : len(enc)] = True
+        return ids, mask
+
+    def teacher_episode(self) -> EpisodeBatch:
+        """Roll a full teacher-forced episode; one EpisodeBatch out.
+
+        The trajectory under teacher forcing is the ground-truth path, so
+        every step's observation is known without model involvement.
+        """
+        obs = self.reset()
+        return self._collect_episode_with_actions(obs, policy=None)
+
+    def _collect_episode_with_actions(self, obs: ObsBatch, policy) -> EpisodeBatch:
+        b = len(self.batch)
+        t_max = self.max_action_len
+        stop = self.spec.stop_slot
+
+        obs_list: List[ObsBatch] = []
+        actions = np.full((b, t_max), stop, dtype=np.int32)
+        teacher = np.full((b, t_max), IGNORE_ID, dtype=np.int32)
+        step_mask = np.zeros((b, t_max), dtype=bool)
+        ended = np.zeros((b,), dtype=bool)
+
+        for t in range(t_max):
+            obs_list.append(obs)
+            a_t = obs.teacher.copy() if policy is None else policy(t, obs, ended)
+            live = ~ended
+            step_mask[:, t] = live
+            teacher[:, t] = np.where(live, obs.teacher, IGNORE_ID)
+            actions[:, t] = np.where(live, a_t, stop)
+            # stop/ended slots become no-ops
+            env_actions = np.where(live & (a_t != stop), a_t, -1)
+            ended |= a_t == stop
+            if t + 1 < t_max:
+                obs = self.step(env_actions, obs)
+                if ended.all():
+                    # fill remaining steps with copies of the last obs
+                    # (masked out) to keep fixed shapes
+                    for _ in range(t + 1, t_max):
+                        obs_list.append(obs)
+                    break
+        while len(obs_list) < t_max:
+            obs_list.append(obs_list[-1])
+
+        txt_ids, txt_mask = self.txt_batch()
+
+        def stack(attr: str) -> np.ndarray:
+            return np.stack([getattr(o, attr) for o in obs_list], axis=1)
+
+        return EpisodeBatch(
+            txt_ids=txt_ids,
+            txt_mask=txt_mask,
+            ob_img=stack("ob_img"),
+            ob_ang=stack("ob_ang"),
+            ob_nav=stack("ob_nav"),
+            ob_mask=stack("ob_mask"),
+            hist_img=stack("hist_img"),
+            hist_pano_img=stack("hist_pano_img"),
+            hist_pano_ang=stack("hist_pano_ang"),
+            actions=actions,
+            step_mask=step_mask,
+            teacher=teacher,
+        )
+
+    # ------------------------------------------------------------------
+    def eval_metrics(self, preds: List[dict]) -> Tuple[Dict[str, float], Dict]:
+        """Parity with env.py:359-386. preds: [{instr_id, trajectory}]
+        where trajectory is a list of viewpoint ids (or (vp, h, e) tuples)."""
+        per_item = []
+        details = {}
+        for item in preds:
+            instr_id = item["instr_id"]
+            traj = [x[0] if isinstance(x, (tuple, list)) else x
+                    for x in item["trajectory"]]
+            scan, gt_path = self.gt_trajs[instr_id]
+            g = self.graphs[scan]
+            scores = eval_r2r_item(
+                g.dist, g.indices(traj), g.indices(gt_path), self.error_margin
+            )
+            per_item.append(scores)
+            details[instr_id] = scores
+        return aggregate_metrics(per_item), details

@@ -1,0 +1,15 @@
+from .metrics import (
+    dtw_scores,
+    cls_score,
+    eval_r2r_item,
+    aggregate_metrics,
+    batch_ndtw,
+)
+
+__all__ = [
+    "dtw_scores",
+    "cls_score",
+    "eval_r2r_item",
+    "aggregate_metrics",
+    "batch_ndtw",
+]
