@@ -1,0 +1,75 @@
+"""Benchmark: IL training throughput of the full-size R2R HAMT on TPU.
+
+North-star proxy (BASELINE.md): episodes/sec/chip through the training
+step. The reference trains R2R at batch 8 on one CUDA GPU
+(``finetune_src/scripts/run_r2r.sh``) with per-step Python/GPU
+interleaving; here a whole teacher-forced episode batch is ONE jitted
+scan (forward + backward + optimizer update).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against ESTIMATED_REFERENCE_EPS — an estimate
+of the reference pipeline's IL episodes/sec on a single V100 (batch 8,
+~0.4 s/iteration judged from its per-step forward count at this model
+size; the repo publishes no measured number, see BASELINE.md). Replace
+with a measured value when available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+ESTIMATED_REFERENCE_EPS = 20.0  # episodes/sec, 1x V100, IL batch 8 (estimate)
+
+BATCH_SIZE = 32
+WARMUP_STEPS = 2
+MEASURE_STEPS = 8
+
+
+def main() -> None:
+    import jax
+    import numpy as np
+
+    from vln_hamt_tpu.agents.agent import HAMTAgent
+    from vln_hamt_tpu.configs import get_preset
+    from vln_hamt_tpu.data.fixtures import make_synthetic_world
+    from vln_hamt_tpu.env import ObsSpec, R2RNavEnv
+
+    cfg = get_preset("r2r").replace(train={"batch_size": BATCH_SIZE})
+
+    world = make_synthetic_world(
+        num_scans=2, nodes_per_scan=36, num_items=2 * BATCH_SIZE,
+        feat_dim=cfg.model.image_feat_size, seed=0,
+    )
+    max_deg = max(g.max_degree for g in world.graphs.values())
+    cfg = cfg.replace(env={"max_candidates": max_deg})
+    spec = ObsSpec(max_candidates=max_deg,
+                   image_feat_size=cfg.env.image_feat_size)
+    env = R2RNavEnv(
+        world.graphs, world.feat_db, world.instr_data, spec,
+        batch_size=BATCH_SIZE, max_instr_len=cfg.env.max_instr_len,
+        max_action_len=cfg.env.max_action_len, seed=0,
+    )
+    agent = HAMTAgent(cfg, env, seed=0)
+
+    for _ in range(WARMUP_STEPS):
+        agent.train_iteration("teacher")
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        out = agent.train_iteration("teacher")
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = MEASURE_STEPS / dt
+    eps_per_sec = steps_per_sec * BATCH_SIZE
+    print(json.dumps({
+        "metric": "r2r_il_train_episodes_per_sec_per_chip",
+        "value": round(eps_per_sec, 2),
+        "unit": "episodes/s",
+        "vs_baseline": round(eps_per_sec / ESTIMATED_REFERENCE_EPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

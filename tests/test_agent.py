@@ -1,0 +1,134 @@
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from vln_hamt_tpu.configs import HAMTConfig
+from vln_hamt_tpu.env import ObsSpec, R2RNavEnv
+from vln_hamt_tpu.agents.agent import HAMTAgent
+
+
+def tiny_cfg(world, max_action_len=8, batch_size=4):
+    feat_dim = world.feat_db.feat_dim
+    max_deg = max(g.max_degree for g in world.graphs.values())
+    return HAMTConfig().replace(
+        model={
+            "hidden_size": 64,
+            "num_attention_heads": 4,
+            "intermediate_size": 128,
+            "num_l_layers": 2,
+            "num_x_layers": 2,
+            "num_h_pano_layers": 1,
+            "image_feat_size": feat_dim,
+            "vocab_size": 30522,
+            "max_action_steps": 20,
+            "max_position_embeddings": 64,
+            "feat_dropout": 0.1,
+        },
+        env={
+            "max_action_len": max_action_len,
+            "max_instr_len": 48,
+            "max_candidates": max_deg,
+            "image_feat_size": feat_dim,
+        },
+        train={"batch_size": batch_size, "lr": 1e-3, "ml_weight": 1.0},
+    )
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_world):
+    cfg = tiny_cfg(tiny_world)
+    spec = ObsSpec(
+        max_candidates=cfg.env.max_candidates,
+        image_feat_size=cfg.env.image_feat_size,
+    )
+    env = R2RNavEnv(
+        tiny_world.graphs, tiny_world.feat_db, tiny_world.instr_data, spec,
+        batch_size=cfg.train.batch_size,
+        max_instr_len=cfg.env.max_instr_len,
+        max_action_len=cfg.env.max_action_len,
+        seed=0,
+    )
+    agent = HAMTAgent(cfg, env, seed=0)
+    return cfg, env, agent
+
+
+def test_teacher_training_reduces_loss(setup):
+    cfg, env, agent = setup
+    losses = [agent.train_iteration("teacher")["loss"] for _ in range(12)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_sample_feedback_step_runs(setup):
+    cfg, env, agent = setup
+    out = agent.train_iteration("sample")
+    assert np.isfinite(out["loss"])
+    assert "RL_loss" in out and "IL_loss" in out
+    assert np.isfinite(out["RL_loss"])
+
+
+def test_rl_replay_matches_rollout_logits(setup):
+    """The cornerstone of the rollout-then-replay design: replayed logits
+    must equal the rollout's sampled-from logits so policy gradients are
+    computed under the exact rollout distribution."""
+    cfg, env, agent = setup
+    rng = jax.random.PRNGKey(123)
+    _, extras = agent.interactive_rollout(
+        "sample", rng, deterministic=False, record_for_replay=True
+    )
+    out = agent.episode_forward(
+        agent.state.params, agent.state.cparams, extras["ep"], rng,
+        deterministic=False,
+    )
+    t_used = extras["rollout_logits"].shape[0]
+    replay = np.asarray(out.logits)[:t_used]
+    rollout = extras["rollout_logits"]
+    finite = np.isfinite(rollout)
+    np.testing.assert_allclose(replay[finite], rollout[finite],
+                               rtol=2e-4, atol=2e-4)
+    # masked entries stay masked
+    assert np.all(replay[~finite] == -np.inf)
+
+
+def test_eval_split_covers_all_items(setup):
+    cfg, env, agent = setup
+    preds = agent.eval_split()
+    instr_ids = {p["instr_id"] for p in preds}
+    assert instr_ids == {it["instr_id"] for it in env.data}
+    agg, _ = env.eval_metrics(preds)
+    assert 0.0 <= agg["sr"] <= 100.0
+    assert np.isfinite(agg["nDTW"])
+
+
+def test_save_load_roundtrip(setup, tmp_path):
+    cfg, env, agent = setup
+    path = str(tmp_path / "ckpt.pkl")
+    agent.save(path)
+    before = jax.tree.leaves(agent.state.params)[0].copy()
+    agent.train_iteration("teacher")
+    after = jax.tree.leaves(agent.state.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    step = agent.load(path)
+    restored = jax.tree.leaves(agent.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(restored))
+
+
+def test_incremental_ndtw_matches_full(tiny_world):
+    from vln_hamt_tpu.eval.metrics import IncrementalNDTW, dtw_scores
+
+    g = next(iter(tiny_world.graphs.values()))
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, g.num_nodes, 5).tolist()
+    start = int(rng.integers(g.num_nodes))
+    inc = IncrementalNDTW([g.dist], [ref], [start])
+    path = [start]
+    assert inc.value(0) == pytest.approx(dtw_scores(g.dist, path, ref)["nDTW"], rel=1e-6)
+    for _ in range(6):
+        node = int(rng.integers(g.num_nodes))
+        path.append(node)
+        inc.update(0, node)
+        assert inc.value(0) == pytest.approx(
+            dtw_scores(g.dist, path, ref)["nDTW"], rel=1e-6
+        )

@@ -1,0 +1,473 @@
+"""HAMTAgent: host-side orchestration of rollouts and training.
+
+Parity target: ``Seq2SeqCMTAgent`` (``finetune_src/r2r/agent_cmt.py``),
+restructured for TPU:
+
+- IL (teacher forcing): the env rolls the whole ground-truth episode on
+  the host, then ONE jitted differentiable scan computes all logits and
+  the summed CE loss (vs the reference's per-step GPU forwards).
+- RL (A2C): interactive rollout with a jitted per-step policy (sampling
+  on device, one action download per step), host reward shaping with
+  incremental nDTW, then a jitted REPLAY of the recorded episode that
+  recomputes logits/values with the same dropout keys — gradients flow
+  through one scan, and replayed logits match rollout logits exactly.
+- 'sample' feedback = IL pass + RL pass per iteration with summed
+  gradients in one update (agent_cmt.py:584-602).
+- grad-clip 40 on the navigator only, critic unclipped
+  (agent_cmt.py:597-601).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import HAMTConfig
+from ..env.observation import IGNORE_ID, ObsBatch
+from ..env.r2r_env import R2RNavEnv
+from ..eval.metrics import IncrementalNDTW
+from ..models.hamt import Critic, HAMT, init_hamt_params
+from .losses import a2c_loss, il_loss
+from .rollout import (
+    HIST0_KEY_SALT,
+    TXT_KEY_SALT,
+    build_episode_forward,
+    build_init_history,
+    build_policy_step,
+    build_text_encoder,
+    step_key,
+)
+
+
+def make_optimizer(name: str, lr: float, weight_decay: float = 0.0,
+                   grad_clip: Optional[float] = None) -> optax.GradientTransformation:
+    """Optimizer zoo parity (agent_cmt.py:62-77)."""
+    if name in ("adamw", "adamW"):
+        opt = optax.adamw(lr, weight_decay=weight_decay)
+    elif name == "adam":
+        opt = optax.adam(lr)
+    elif name == "rms":
+        opt = optax.rmsprop(lr)
+    elif name == "sgd":
+        opt = optax.sgd(lr)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    if grad_clip is not None:
+        return optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    return opt
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    cparams: Any
+    opt_state: Any
+    copt_state: Any
+    step: int = 0
+
+
+class HAMTAgent:
+    def __init__(self, cfg: HAMTConfig, env: Optional[R2RNavEnv] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.env = env
+        ecfg, mcfg, tcfg = cfg.env, cfg.model, cfg.train
+        self.num_ob_tokens = ecfg.max_candidates + 1 + ecfg.views
+        self.stop_slot = ecfg.max_candidates
+
+        rng = jax.random.PRNGKey(seed)
+        self.model, self.critic, params, cparams = init_hamt_params(
+            mcfg, rng, views=ecfg.views, num_ob_tokens=self.num_ob_tokens,
+            instr_len=min(8, ecfg.max_instr_len),
+            hist_len=ecfg.max_action_len + 1,
+        )
+        self.tx = make_optimizer(tcfg.optim, tcfg.lr, tcfg.weight_decay,
+                                 grad_clip=tcfg.grad_clip)
+        self.ctx = make_optimizer(tcfg.optim, tcfg.lr, tcfg.weight_decay)
+        self.state = TrainState(
+            params=params,
+            cparams=cparams,
+            opt_state=self.tx.init(params),
+            copt_state=self.ctx.init(cparams),
+        )
+
+        self.episode_forward = build_episode_forward(self.model, self.critic, mcfg)
+        self.policy_step = build_policy_step(self.model, self.critic, mcfg)
+        self.encode_text = build_text_encoder(self.model)
+        self.init_history = build_init_history(self.model)
+
+        self._il_update = jax.jit(self._il_update_fn)
+        self._il_rl_update = jax.jit(self._il_rl_update_fn)
+        self.logs: Dict[str, List[float]] = defaultdict(list)
+        self._iter_rng = jax.random.PRNGKey(seed + 17)
+
+    # ------------------------------------------------------------------
+    def _next_rng(self) -> jax.Array:
+        self._iter_rng, out = jax.random.split(self._iter_rng)
+        return out
+
+    @staticmethod
+    def _ep_to_device(ep, final_obs: Optional[ObsBatch] = None) -> Dict[str, jnp.ndarray]:
+        d = {
+            "txt_ids": ep.txt_ids,
+            "txt_mask": ep.txt_mask,
+            "ob_img": ep.ob_img,
+            "ob_ang": ep.ob_ang,
+            "ob_nav": ep.ob_nav,
+            "ob_mask": ep.ob_mask,
+            "hist_img": ep.hist_img,
+            "hist_pano_img": ep.hist_pano_img,
+            "hist_pano_ang": ep.hist_pano_ang,
+            "actions": ep.actions,
+            "step_mask": ep.step_mask,
+            "teacher": ep.teacher,
+        }
+        if final_obs is not None:
+            d.update(
+                final_ob_img=final_obs.ob_img,
+                final_ob_ang=final_obs.ob_ang,
+                final_ob_nav=final_obs.ob_nav,
+                final_ob_mask=final_obs.ob_mask,
+            )
+        return jax.tree.map(jnp.asarray, d)
+
+    # ---------------------------------------------------------- losses
+    def _il_loss(self, params, cparams, ep, rng, weight):
+        out = self.episode_forward(params, cparams, ep, rng, deterministic=False)
+        teacher = jnp.moveaxis(ep["teacher"], 0, 1)  # (T, B)
+        b = ep["actions"].shape[0]
+        loss = il_loss(out.logits, teacher, IGNORE_ID) * weight / b
+        return loss, {"IL_loss": loss}
+
+    def _rl_loss(self, params, cparams, ep, rewards, masks, bootstrap_mask, rng):
+        out = self.episode_forward(params, cparams, ep, rng, deterministic=False)
+        actions = jnp.moveaxis(ep["actions"], 0, 1)  # (T, B)
+        tcfg = self.cfg.train
+        # bootstrap only for episodes still alive after the horizon
+        # (agent_cmt.py:481-484)
+        last_value = jnp.where(bootstrap_mask, out.last_value, 0.0)
+        loss, aux = a2c_loss(
+            out.logits, actions, out.values, rewards, masks, last_value,
+            gamma=tcfg.gamma, entropy_weight=tcfg.entropy_loss_weight,
+            normalize=tcfg.normalize_loss,
+        )
+        aux["RL_loss"] = loss
+        return loss, aux
+
+    def _il_update_fn(self, state_params, state_cparams, opt_state, copt_state,
+                      ep, rng, il_weight):
+        def loss_fn(params, cparams):
+            return self._il_loss(params, cparams, ep, rng, il_weight)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                                has_aux=True)(
+            state_params, state_cparams
+        )
+        gp, gc = grads
+        updates, opt_state = self.tx.update(gp, opt_state, state_params)
+        params = optax.apply_updates(state_params, updates)
+        cupdates, copt_state = self.ctx.update(gc, copt_state, state_cparams)
+        cparams = optax.apply_updates(state_cparams, cupdates)
+        return params, cparams, opt_state, copt_state, loss, aux
+
+    def _il_rl_update_fn(self, state_params, state_cparams, opt_state,
+                         copt_state, il_ep, il_rng, il_weight, rl_ep, rewards,
+                         masks, bootstrap_mask, rl_rng):
+        def loss_fn(params, cparams):
+            l1, a1 = self._il_loss(params, cparams, il_ep, il_rng, il_weight)
+            l2, a2 = self._rl_loss(params, cparams, rl_ep, rewards, masks,
+                                   bootstrap_mask, rl_rng)
+            return l1 + l2, {**a1, **a2}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                                has_aux=True)(
+            state_params, state_cparams
+        )
+        gp, gc = grads
+        updates, opt_state = self.tx.update(gp, opt_state, state_params)
+        params = optax.apply_updates(state_params, updates)
+        cupdates, copt_state = self.ctx.update(gc, copt_state, state_cparams)
+        cparams = optax.apply_updates(state_cparams, cupdates)
+        return params, cparams, opt_state, copt_state, loss, aux
+
+    # ----------------------------------------------------- interactive
+    def interactive_rollout(
+        self,
+        mode: str,
+        base_rng: jax.Array,
+        deterministic: bool,
+        record_for_replay: bool = False,
+        no_cand_backtrack: bool = False,
+    ):
+        """Run one interactive episode batch against self.env.
+
+        Returns (trajectories, extras). ``trajectories`` follows the
+        reference result schema: [{instr_id, path: [(vp, h, e), ...]}].
+        With ``record_for_replay``, extras carries everything the RL
+        replay needs (episode arrays, rewards, masks).
+        """
+        env = self.env
+        spec = env.spec
+        stop = self.stop_slot
+        obs = env.reset()
+        b = obs.batch_size
+        t_max = env.max_action_len
+
+        txt_ids, txt_mask = env.txt_batch()
+        txt_ids = jnp.asarray(txt_ids)
+        txt_mask = jnp.asarray(txt_mask)
+        txt_embeds = self.encode_text(
+            self.state.params, txt_ids, txt_mask,
+            jax.random.fold_in(base_rng, TXT_KEY_SALT), deterministic
+        )
+        hist0 = self.init_history(
+            self.state.params, jax.random.fold_in(base_rng, HIST0_KEY_SALT),
+            batch_size=b, deterministic=deterministic,
+        )
+        hist_cache = jnp.zeros(
+            (b, t_max + 1, self.cfg.model.hidden_size), hist0.dtype
+        ).at[:, 0].set(hist0)
+        hist_len = jnp.ones((b,), jnp.int32)
+
+        graphs = [env.sim.graph(i) for i in range(b)]
+        traj = [
+            {
+                "instr_id": env.batch[i]["instr_id"],
+                "path": [self._pose_tuple(env, i)],
+            }
+            for i in range(b)
+        ]
+        # reward bookkeeping (agent_cmt.py:283-289)
+        goals = [env.graphs[it["scan"]].index(it["path"][-1]) for it in env.batch]
+        gt_idx = [graphs[i].indices(env.batch[i]["path"]) for i in range(b)]
+        ndtw = IncrementalNDTW(
+            [g.dist for g in graphs], gt_idx, obs.node.tolist()
+        )
+        last_dist = obs.dist_to_goal.copy()
+        last_ndtw = np.array([ndtw.value(i) for i in range(b)], np.float32)
+
+        ended = np.zeros((b,), bool)
+        visited = [set([int(obs.node[i])]) for i in range(b)]
+
+        obs_list: List[ObsBatch] = []
+        actions_rec = np.full((b, t_max), stop, np.int32)
+        step_mask = np.zeros((b, t_max), bool)
+        rewards = np.zeros((t_max, b), np.float32)
+        logits_rec: List[np.ndarray] = []
+
+        for t in range(t_max):
+            obs_list.append(obs)
+            forbid = np.zeros((b, obs.ob_nav.shape[1]), bool)
+            if no_cand_backtrack:
+                for i in range(b):
+                    for c in range(stop):
+                        cn = int(obs.cand_node[i, c])
+                        if cn >= 0 and cn in visited[i]:
+                            forbid[i, c] = True
+            live = ~ended
+            a_dev, logits, value, hist_cache, hist_len = self.policy_step(
+                self.state.params, self.state.cparams, txt_embeds, txt_mask,
+                hist_cache, hist_len, t,
+                jnp.asarray(obs.ob_img), jnp.asarray(obs.ob_ang),
+                jnp.asarray(obs.ob_nav), jnp.asarray(obs.ob_mask),
+                jnp.asarray(obs.hist_img), jnp.asarray(obs.hist_pano_img),
+                jnp.asarray(obs.hist_pano_ang),
+                jnp.asarray(live), jnp.asarray(forbid),
+                jnp.asarray(obs.teacher if mode == "teacher" else np.zeros(b, np.int32)),
+                step_key(base_rng, t),
+                mode=mode, deterministic=deterministic,
+            )
+            a_t = np.asarray(a_dev)
+            step_mask[:, t] = live
+            actions_rec[:, t] = np.where(live, a_t, stop)
+            if record_for_replay:
+                logits_rec.append(np.asarray(logits))
+
+            env_actions = np.where(live & (a_t != stop), a_t, -1)
+            prev_nodes = obs.node.copy()
+            obs = env.step(env_actions, obs)
+            for i in range(b):
+                if env_actions[i] >= 0:
+                    traj[i]["path"].append(self._pose_tuple(env, i))
+                    visited[i].add(int(obs.node[i]))
+                    ndtw.update(i, int(obs.node[i]))
+
+            if record_for_replay:
+                dist = obs.dist_to_goal
+                cur_ndtw = np.array([ndtw.value(i) for i in range(b)], np.float32)
+                for i in range(b):
+                    if not live[i]:
+                        continue
+                    if a_t[i] == stop:  # stop action (agent_cmt.py:424-428)
+                        rewards[t, i] = (
+                            2.0 + cur_ndtw[i] * 2.0 if dist[i] < 3.0 else -2.0
+                        )
+                    else:
+                        delta = -(dist[i] - last_dist[i])
+                        nr = cur_ndtw[i] - last_ndtw[i]
+                        # sign-quantified fidelity reward (agent_cmt.py:
+                        # 430-438; the reference raises on delta == 0,
+                        # which CAN legally occur with equidistant nodes
+                        # — we treat it as regress)
+                        rewards[t, i] = (1.0 + nr) if delta > 0.0 else (-1.0 + nr)
+                        # miss-the-target penalty (agent_cmt.py:439-441)
+                        if last_dist[i] <= 1.0 and dist[i] - last_dist[i] > 0.0:
+                            rewards[t, i] -= (1.0 - last_dist[i]) * 2.0
+                last_dist = dist.copy()
+                last_ndtw = cur_ndtw
+
+            ended |= a_t == stop
+            if ended.all():
+                break
+
+        extras: Dict[str, Any] = {}
+        if record_for_replay:
+            # pad to t_max so the replay scan has ONE compiled shape
+            # (the reference breaks early per batch, agent_cmt.py:450-451;
+            # masked dead steps are cheaper than XLA recompiles)
+            while len(obs_list) < t_max:
+                obs_list.append(obs_list[-1])
+            ep = self._stack_obs_episode(
+                obs_list, txt_ids, txt_mask, actions_rec, step_mask,
+                final_obs=obs,
+            )
+            extras = {
+                "ep": ep,
+                "rewards": jnp.asarray(rewards),
+                "masks": jnp.asarray(step_mask.T.astype(np.float32)),
+                "bootstrap_mask": jnp.asarray(~ended),
+                "rollout_logits": np.stack(logits_rec, axis=0),  # (T_used, B, N)
+            }
+        return traj, extras
+
+    @staticmethod
+    def _pose_tuple(env: R2RNavEnv, i: int) -> Tuple[str, float, float]:
+        st = env.sim.get_state(i)
+        g = env.sim.graph(i)
+        return (g.node_ids[st.node], st.heading, st.elevation)
+
+    def _stack_obs_episode(self, obs_list, txt_ids, txt_mask, actions,
+                           step_mask, final_obs=None) -> Dict[str, jnp.ndarray]:
+        stack = lambda attr: np.stack([getattr(o, attr) for o in obs_list], axis=1)
+        d = {
+            "txt_ids": txt_ids,
+            "txt_mask": txt_mask,
+            "ob_img": stack("ob_img"),
+            "ob_ang": stack("ob_ang"),
+            "ob_nav": stack("ob_nav"),
+            "ob_mask": stack("ob_mask"),
+            "hist_img": stack("hist_img"),
+            "hist_pano_img": stack("hist_pano_img"),
+            "hist_pano_ang": stack("hist_pano_ang"),
+            "actions": actions,
+            "step_mask": step_mask,
+            "teacher": np.stack([o.teacher for o in obs_list], axis=1),
+        }
+        if final_obs is not None:
+            d.update(
+                final_ob_img=final_obs.ob_img,
+                final_ob_ang=final_obs.ob_ang,
+                final_ob_nav=final_obs.ob_nav,
+                final_ob_mask=final_obs.ob_mask,
+            )
+        return jax.tree.map(jnp.asarray, d)
+
+    # ------------------------------------------------------------ train
+    def train_iteration(self, feedback: Optional[str] = None) -> Dict[str, float]:
+        """One optimizer step (agent_cmt.py:569-602)."""
+        feedback = feedback or self.cfg.train.feedback
+        st = self.state
+        tcfg = self.cfg.train
+        if feedback == "teacher":
+            ep = self._ep_to_device(self.env.teacher_episode())
+            rng = self._next_rng()
+            params, cparams, opt_state, copt_state, loss, aux = self._il_update(
+                st.params, st.cparams, st.opt_state, st.copt_state, ep, rng,
+                tcfg.teacher_weight,
+            )
+        elif feedback == "sample":
+            il_ep = self._ep_to_device(self.env.teacher_episode())
+            il_rng = self._next_rng()
+            rl_rng = self._next_rng()
+            _, extras = self.interactive_rollout(
+                "sample", rl_rng, deterministic=False, record_for_replay=True
+            )
+            params, cparams, opt_state, copt_state, loss, aux = self._il_rl_update(
+                st.params, st.cparams, st.opt_state, st.copt_state,
+                il_ep, il_rng, tcfg.ml_weight, extras["ep"], extras["rewards"],
+                extras["masks"], extras["bootstrap_mask"], rl_rng,
+            )
+        else:
+            raise ValueError(f"bad feedback {feedback!r}")
+
+        self.state = TrainState(params, cparams, opt_state, copt_state,
+                                st.step + 1)
+        out = {"loss": float(loss)}
+        for k, v in aux.items():
+            val = float(jnp.asarray(v)) if jnp.ndim(v) == 0 else float(np.mean(v))
+            out[k] = val
+            self.logs[k].append(val)
+        return out
+
+    # ------------------------------------------------------------- eval
+    def eval_split(self, env: Optional[R2RNavEnv] = None,
+                   no_cand_backtrack: bool = False) -> List[dict]:
+        """Greedy full-split evaluation (agent_base.py:25-47): iterate
+        until an instr_id repeats, keeping the FIRST prediction."""
+        env = env or self.env
+        old_env, self.env = self.env, env
+        env.reset_epoch(shuffle=False)
+        results: Dict[str, dict] = {}
+        looped = False
+        while not looped:
+            trajs, _ = self.interactive_rollout(
+                "argmax", self._next_rng(), deterministic=True,
+                no_cand_backtrack=no_cand_backtrack,
+            )
+            for tr in trajs:
+                if tr["instr_id"] in results:
+                    looped = True
+                else:
+                    results[tr["instr_id"]] = tr
+        self.env = old_env
+        return [
+            {"instr_id": k, "trajectory": v["path"]} for k, v in results.items()
+        ]
+
+    # ------------------------------------------------------ checkpoints
+    def save(self, path: str) -> None:
+        import flax.serialization as fser
+
+        blob = {
+            "step": self.state.step,
+            "params": fser.to_state_dict(self.state.params),
+            "cparams": fser.to_state_dict(self.state.cparams),
+            "opt_state": fser.to_state_dict(self.state.opt_state),
+            "copt_state": fser.to_state_dict(self.state.copt_state),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load(self, path: str, resume_optimizer: bool = False) -> int:
+        import flax.serialization as fser
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        st = self.state
+        params = fser.from_state_dict(st.params, blob["params"])
+        cparams = fser.from_state_dict(st.cparams, blob["cparams"])
+        if resume_optimizer:
+            opt_state = fser.from_state_dict(st.opt_state, blob["opt_state"])
+            copt_state = fser.from_state_dict(st.copt_state, blob["copt_state"])
+        else:
+            opt_state, copt_state = st.opt_state, st.copt_state
+        self.state = TrainState(params, cparams, opt_state, copt_state,
+                                blob["step"])
+        return blob["step"]

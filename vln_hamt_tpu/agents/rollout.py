@@ -1,0 +1,248 @@
+"""Jitted episode computation.
+
+The reference interleaves per-step GPU forwards with Python list
+appends and simulator calls (``agent_cmt.py:248-529``, SURVEY §3.1).
+Here the episode is one device program:
+
+- :func:`build_episode_forward` returns a function that runs the FULL
+  episode as a ``lax.scan`` over time with a fixed-size history cache
+  updated via ``dynamic_update_slice``. It is differentiable end-to-end
+  and serves both IL (teacher actions) and RL (replaying recorded
+  actions: identical per-step dropout keys make the replayed logits
+  bit-equal to the rollout logits, so log-probs/gradients match the
+  sampled trajectory exactly).
+- :func:`build_policy_step` returns the single-step jitted function used
+  for interactive rollouts (RL sampling, greedy eval): one H2D upload of
+  the observation, one D2H download of the action per step; the history
+  cache lives on device across steps (donated buffers).
+
+History cache invariant: live steps form a prefix of the episode, so
+the token written at scan step ``t`` always lands in slot ``t+1`` and
+per-sample history length is ``1 + (# live steps so far)`` — masked
+attention reproduces the reference's per-sample ``hist_lens``
+bookkeeping (agent_cmt.py:305-306,399-401) without ragged shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import ModelConfig
+from ..models.hamt import HAMT, Critic
+
+
+# Key-derivation scheme shared by interactive rollout and scan replay so
+# replayed logits are bit-identical to rollout logits (same dropout):
+#   step t        -> fold_in(base, t)
+#   text encoding -> fold_in(base, TXT_KEY_SALT)
+#   history [CLS] -> fold_in(base, HIST0_KEY_SALT)
+#   final bootstrap plan -> fold_in(base, FINAL_KEY_SALT)
+TXT_KEY_SALT = 1_000_000
+HIST0_KEY_SALT = 1_000_001
+FINAL_KEY_SALT = 1_000_002
+
+
+def step_key(base: jax.Array, t) -> jax.Array:
+    return jax.random.fold_in(base, t)
+
+
+@dataclasses.dataclass
+class EpisodeOutputs:
+    logits: jnp.ndarray  # (T, B, N) float32
+    states: jnp.ndarray  # (T, B, D)
+    values: jnp.ndarray  # (T, B)
+    last_value: jnp.ndarray  # (B,) bootstrap value of the final obs
+    hist_cache: jnp.ndarray  # (B, T+1, D) final history cache
+
+
+def _hist_mask(hist_len: jnp.ndarray, h: int) -> jnp.ndarray:
+    return jnp.arange(h)[None, :] < hist_len[:, None]
+
+
+def build_episode_forward(
+    model: HAMT, critic: Critic, cfg: ModelConfig
+) -> Callable[..., EpisodeOutputs]:
+    """Returns episode_forward(params, cparams, ep, rng, deterministic).
+
+    ``ep`` is a dict of device arrays:
+      txt_ids (B, L) int32, txt_mask (B, L) bool,
+      ob_img (B, T, N, Di), ob_ang (B, T, N, A), ob_nav (B, T, N) int32,
+      ob_mask (B, T, N) bool,
+      hist_img (B, T, Di), hist_pano_img (B, T, V, Di),
+      hist_pano_ang (B, T, V, A),
+      actions (B, T) int32 (action slots TAKEN; STOP slot when ended),
+      step_mask (B, T) bool,
+      final_ob_* (B, N, ...) optional — obs after the last action for the
+      RL bootstrap value; when absent, last_value = 0.
+    """
+
+    def episode_forward(params, cparams, ep: Dict[str, jnp.ndarray], rng,
+                        deterministic: bool = False) -> EpisodeOutputs:
+        txt_ids, txt_mask = ep["txt_ids"], ep["txt_mask"]
+        b, t_steps = ep["actions"].shape
+        h_max = t_steps + 1
+
+        txt_key = jax.random.fold_in(rng, TXT_KEY_SALT)
+        hist0_key = jax.random.fold_in(rng, HIST0_KEY_SALT)
+        apply = partial(model.apply, {"params": params})
+
+        txt_embeds = apply(
+            txt_ids, txt_mask, deterministic,
+            method=HAMT.encode_text, rngs={"dropout": txt_key},
+        )
+        hist0 = apply(b, deterministic, method=HAMT.init_history,
+                      rngs={"dropout": hist0_key})
+
+        hist_cache = jnp.zeros((b, h_max, cfg.hidden_size), hist0.dtype)
+        hist_cache = hist_cache.at[:, 0].set(hist0)
+        hist_len = jnp.ones((b,), jnp.int32)
+
+        # time-major leaves for scan
+        tm = lambda name: jnp.moveaxis(ep[name], 0, 1)
+        xs = dict(
+            ob_img=tm("ob_img"), ob_ang=tm("ob_ang"), ob_nav=tm("ob_nav"),
+            ob_mask=tm("ob_mask"), hist_img=tm("hist_img"),
+            pano_img=tm("hist_pano_img"), pano_ang=tm("hist_pano_ang"),
+            action=tm("actions"), live=tm("step_mask"),
+            t=jnp.arange(t_steps, dtype=jnp.int32),
+            key=jax.vmap(lambda t: step_key(rng, t))(jnp.arange(t_steps)),
+        )
+
+        def body(carry, x):
+            hist_cache, hist_len = carry
+            k_plan, k_critic, k_hist, _ = jax.random.split(x["key"], 4)
+            logits, state = apply(
+                txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
+                x["ob_img"], x["ob_ang"], x["ob_nav"], x["ob_mask"],
+                deterministic, method=HAMT.plan, rngs={"dropout": k_plan},
+            )
+            value = critic.apply({"params": cparams}, state, deterministic,
+                                 rngs={"dropout": k_critic})
+            # chosen action's angle feature = its ob slot's angle feature
+            # (zeros at the STOP slot), parity agent_cmt.py:382-386
+            act_ang = jnp.take_along_axis(
+                x["ob_ang"], x["action"][:, None, None], axis=1
+            ).squeeze(1)
+            new_tok = apply(
+                x["hist_img"], act_ang, x["t"], x["pano_img"], x["pano_ang"],
+                deterministic, method=HAMT.encode_history,
+                rngs={"dropout": k_hist},
+            )
+            hist_cache = jax.lax.dynamic_update_slice(
+                hist_cache, new_tok[:, None, :].astype(hist_cache.dtype),
+                (0, x["t"] + 1, 0),
+            )
+            hist_len = hist_len + x["live"].astype(jnp.int32)
+            return (hist_cache, hist_len), (logits, state, value)
+
+        (hist_cache, hist_len), (logits, states, values) = jax.lax.scan(
+            body, (hist_cache, hist_len), xs
+        )
+
+        if "final_ob_img" in ep:
+            k_plan, k_critic = jax.random.split(
+                jax.random.fold_in(rng, FINAL_KEY_SALT)
+            )
+            _, last_state = apply(
+                txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
+                ep["final_ob_img"], ep["final_ob_ang"], ep["final_ob_nav"],
+                ep["final_ob_mask"], deterministic,
+                method=HAMT.plan, rngs={"dropout": k_plan},
+            )
+            last_value = critic.apply({"params": cparams}, last_state,
+                                      deterministic, rngs={"dropout": k_critic})
+            last_value = jax.lax.stop_gradient(last_value)
+        else:
+            last_value = jnp.zeros((b,), jnp.float32)
+
+        return EpisodeOutputs(
+            logits=logits, states=states, values=values,
+            last_value=last_value, hist_cache=hist_cache,
+        )
+
+    return episode_forward
+
+
+# ----------------------------------------------------------------------
+def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig):
+    """Single interactive step, jitted with a donated history cache.
+
+    policy_step(params, txt_embeds, txt_mask, hist_cache, hist_len, t,
+                obs..., live, forbid, rng)
+      -> action (B,), logits (B, N), new_hist_cache, new_hist_len
+
+    ``mode``: 'sample' | 'argmax' | 'teacher' (action passed in via
+    ``given_action``). ``forbid`` is an extra bool logit mask for
+    no_cand_backtrack (agent_cmt.py:342-350).
+    """
+
+    @partial(
+        jax.jit,
+        static_argnames=("mode", "deterministic"),
+        donate_argnames=("hist_cache",),
+    )
+    def policy_step(
+        params, cparams, txt_embeds, txt_mask, hist_cache, hist_len, t,
+        ob_img, ob_ang, ob_nav, ob_mask, hist_img, pano_img, pano_ang,
+        live, forbid, given_action, rng,
+        mode: str = "argmax", deterministic: bool = True,
+    ):
+        h_max = hist_cache.shape[1]
+        k_plan, k_critic, k_hist, k_act = jax.random.split(rng, 4)
+        apply = partial(model.apply, {"params": params})
+        logits, state = apply(
+            txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
+            ob_img, ob_ang, ob_nav, ob_mask, deterministic,
+            method=HAMT.plan, rngs={"dropout": k_plan},
+        )
+        masked_logits = jnp.where(forbid, -jnp.inf, logits)
+        if mode == "sample":
+            action = jax.random.categorical(k_act, masked_logits, axis=-1)
+        elif mode == "argmax":
+            action = jnp.argmax(masked_logits, axis=-1)
+        elif mode == "teacher":
+            action = given_action
+        else:
+            raise ValueError(mode)
+        action = action.astype(jnp.int32)
+
+        value = critic.apply({"params": cparams}, state, deterministic,
+                             rngs={"dropout": k_critic})
+
+        act_ang = jnp.take_along_axis(
+            ob_ang, action[:, None, None], axis=1
+        ).squeeze(1)
+        new_tok = apply(
+            hist_img, act_ang, t, pano_img, pano_ang, deterministic,
+            method=HAMT.encode_history, rngs={"dropout": k_hist},
+        )
+        hist_cache = jax.lax.dynamic_update_slice(
+            hist_cache, new_tok[:, None, :].astype(hist_cache.dtype), (0, t + 1, 0)
+        )
+        hist_len = hist_len + live.astype(jnp.int32)
+        return action, logits, value, hist_cache, hist_len
+
+    return policy_step
+
+
+def build_text_encoder(model: HAMT):
+    @partial(jax.jit, static_argnames=("deterministic",))
+    def encode_text(params, txt_ids, txt_mask, rng, deterministic: bool = True):
+        return model.apply({"params": params}, txt_ids, txt_mask, deterministic,
+                           method=HAMT.encode_text, rngs={"dropout": rng})
+
+    return encode_text
+
+
+def build_init_history(model: HAMT):
+    @partial(jax.jit, static_argnames=("batch_size", "deterministic"))
+    def init_history(params, rng, batch_size: int, deterministic: bool = True):
+        return model.apply({"params": params}, batch_size, deterministic,
+                           method=HAMT.init_history, rngs={"dropout": rng})
+
+    return init_history

@@ -4,6 +4,7 @@ from .metrics import (
     eval_r2r_item,
     aggregate_metrics,
     batch_ndtw,
+    IncrementalNDTW,
 )
 
 __all__ = [

@@ -84,6 +84,46 @@ def batch_ndtw(
     return np.exp(-dtw / (threshold * np.maximum(ref_len, 1))).astype(np.float32)
 
 
+class IncrementalNDTW:
+    """Per-sample nDTW of a growing prediction path, O(R) per step.
+
+    The reference recomputes the full O(P*R) DTW table per sample per RL
+    step (``agent_cmt.py:289,416``). The DTW DP only ever consumes one
+    new prediction row, so we keep the last DP row per sample and extend
+    it — same value, ~P times cheaper, and no per-step Python DP loops.
+    """
+
+    def __init__(self, dists: List[np.ndarray], refs: List[Sequence[int]],
+                 starts: Sequence[int], threshold: float = ERROR_MARGIN):
+        self.dists = dists
+        self.refs = [np.asarray(r, dtype=np.int64) for r in refs]
+        self.threshold = threshold
+        self.rows = []
+        for i, start in enumerate(starts):
+            row = np.full(len(self.refs[i]) + 1, np.inf)
+            row[0] = 0.0
+            self.rows.append(row)
+            self._extend(i, int(start))
+
+    def _extend(self, i: int, node: int) -> None:
+        ref = self.refs[i]
+        prev = self.rows[i]
+        cost = self.dists[i][node, ref]
+        cur = np.full_like(prev, np.inf)
+        for j in range(1, len(ref) + 1):
+            cur[j] = cost[j - 1] + min(prev[j], prev[j - 1], cur[j - 1])
+        cur[0] = np.inf  # the first prediction row closes column 0
+        self.rows[i] = cur
+
+    def update(self, i: int, node: int) -> None:
+        """Append one node to sample i's prediction path."""
+        self._extend(i, int(node))
+
+    def value(self, i: int) -> float:
+        ref_len = len(self.refs[i])
+        return float(np.exp(-self.rows[i][ref_len] / (self.threshold * ref_len)))
+
+
 def cls_score(
     dist: np.ndarray,
     prediction: Sequence[int],

@@ -1,0 +1,17 @@
+from .mesh import (
+    make_mesh,
+    param_partition_spec,
+    shard_params,
+    shard_batch,
+    replicate,
+    host_allgather,
+)
+
+__all__ = [
+    "make_mesh",
+    "param_partition_spec",
+    "shard_params",
+    "shard_batch",
+    "replicate",
+    "host_allgather",
+]

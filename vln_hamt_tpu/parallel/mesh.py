@@ -1,0 +1,106 @@
+"""Device meshes and shardings.
+
+TPU-native replacement for the reference's distributed layer
+(``finetune_src/utils/distributed.py``): instead of NCCL process groups,
+DDP wrappers and pickled byte-tensor all_gathers, we lay out one
+``jax.sharding.Mesh`` with axes ``('data', 'model')`` and let GSPMD
+insert the collectives over ICI:
+
+- data parallelism = batch sharded over 'data' (replaces DDP,
+  distributed.py:57 + agent_cmt.py:54-56); gradient all-reduce is
+  compiled into the jitted train step.
+- tensor parallelism = weight matrices sharded over 'model'. The
+  reference has no TP (SURVEY §2.3) — at 170M params it is not needed
+  for memory, but the rules below make it a mesh-shape change rather
+  than a rewrite, and the multi-chip dryrun exercises it.
+- host-side result merging (pickled ``all_gather`` of eval dicts,
+  distributed.py:90-130, main.py:254) becomes
+  ``multihost_utils.process_allgather`` on python objects.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_data: Optional[int] = None,
+    num_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_data is None:
+        num_data = len(devices) // num_model
+    assert num_data * num_model <= len(devices), (
+        f"mesh {num_data}x{num_model} needs more than {len(devices)} devices"
+    )
+    grid = np.array(devices[: num_data * num_model]).reshape(num_data, num_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+# Parameter partitioning rules for tensor parallelism. Matched against
+# the '/'-joined flax param path. Column-parallel for D->4D / QKV
+# projections, row-parallel for their output projections (Megatron
+# layout): each transformer block needs only one all-reduce per
+# sublayer, inserted automatically by GSPMD.
+_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # FFN
+    (r".*/intermediate/kernel$", P(None, "model")),
+    (r".*ffn/output/kernel$", P("model", None)),
+    # attention projections
+    (r".*/(query|key|value)/kernel$", P(None, "model")),
+    (r".*/output/dense/kernel$", P("model", None)),
+)
+
+
+def param_partition_spec(path: str, value: Any) -> P:
+    if getattr(value, "ndim", 0) == 2:
+        for pattern, spec in _TP_RULES:
+            if re.match(pattern, path):
+                return spec
+    return P()  # replicated
+
+
+def _flatten_path(path) -> str:
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param tree on the mesh according to the TP rules."""
+
+    def place(path, value):
+        spec = param_partition_spec(_flatten_path(path), value)
+        return jax.device_put(value, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every leaf's leading (batch) axis over the 'data' axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def host_allgather(obj: Any) -> list:
+    """Gather a python object from all hosts (single-host: [obj]).
+
+    Replaces the reference's pickled ByteTensor all_gather
+    (distributed.py:90-130) for merging per-rank eval predictions.
+    """
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    return list(multihost_utils.process_allgather(obj, tiled=False))

@@ -1,0 +1,250 @@
+"""Expert-trajectory dataset for proxy-task pretraining.
+
+Parity target: ``MultiStepNavData`` (``pretrain_src/data/r2r_data.py:
+95-346``). A trajectory record holds the expert path, the discretized
+view index at each step, the action's representative view index and its
+relative angles — the reference reads these from preprocessed JSONL
+(``traj_files``); we additionally synthesize them directly from a
+:class:`~vln_hamt_tpu.data.fixtures.SyntheticWorld` so pretraining runs
+hermetically.
+
+Shape policy (TPU): every example is padded to ``max_hist_len`` history
+steps at assembly time — the reference pads per batch to the batch max
+(``r2r_tasks.py`` collates), which produces data-dependent shapes.
+Observations use the pano layout: 36 views + STOP = 37 fixed tokens
+(``get_ob_pano_view``, r2r_data.py:204-220), with candidates marked by
+nav type rather than reordered.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..data.angle import (
+    DEG30,
+    all_point_angle_feature,
+    angle_features,
+    view_elevation,
+    view_heading,
+)
+from ..data.fixtures import SyntheticWorld
+from ..data.nav_graph import NavGraph
+from ..env.sim import snap_heading_to_view
+
+IGNORE_ID = -100
+NUM_VIEWS = 36
+
+
+@dataclasses.dataclass
+class TrajRecord:
+    scan: str
+    path: List[str]  # viewpoint ids
+    path_viewindex: np.ndarray  # (T,) int32 view index at each step
+    action_viewindex: np.ndarray  # (T,) int32 target view index, -1 = stop
+    rel_act_angles: np.ndarray  # (T, 2) float32 (heading rel base, abs elev)
+    instr_ids: List[str]
+    instr_encodings: List[List[int]]
+
+
+def standardize_radians(x):
+    """Wrap to [-pi, pi) (r2r_tasks.py:438-442)."""
+    x = np.mod(np.asarray(x, dtype=np.float64), 2 * np.pi)
+    return np.where(x >= np.pi, x - 2 * np.pi, x).astype(np.float32)
+
+
+def make_synthetic_trajectories(world: SyntheticWorld) -> List[TrajRecord]:
+    """Derive expert-trajectory records from a synthetic world's items."""
+    records = []
+    for item in world.instr_data:
+        g = world.graphs[item["scan"]]
+        path_idx = g.indices(item["path"])
+        t_len = len(path_idx)
+        view_idx = np.zeros((t_len,), np.int32)
+        act_view = np.full((t_len,), -1, np.int32)
+        rel_ang = np.zeros((t_len, 2), np.float32)
+        view_idx[0] = snap_heading_to_view(item.get("heading", 0.0))
+        for t in range(t_len - 1):
+            u, v = int(path_idx[t]), int(path_idx[t + 1])
+            j = int(np.nonzero(g.nbr_index[u] == v)[0][0])
+            pid = int(g.nbr_point_id[u, j])
+            act_view[t] = pid
+            base_h = float(view_heading(view_idx[t]))
+            rel_ang[t, 0] = standardize_radians(g.nbr_heading[u, j] - base_h)
+            rel_ang[t, 1] = g.nbr_elevation[u, j]
+            view_idx[t + 1] = pid
+        records.append(
+            TrajRecord(
+                scan=item["scan"],
+                path=list(item["path"]),
+                path_viewindex=view_idx,
+                action_viewindex=act_view,
+                rel_act_angles=rel_ang,
+                instr_ids=[item["instr_id"]],
+                instr_encodings=[list(item["instr_encoding"])],
+            )
+        )
+    return records
+
+
+def load_trajectory_jsonl(traj_files: Sequence[str]) -> List[TrajRecord]:
+    """Reference JSONL trajectory format (r2r_data.py:125-136)."""
+    records = []
+    for path in traj_files:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                item = json.loads(line)
+                records.append(
+                    TrajRecord(
+                        scan=item["scan"],
+                        path=item["path"],
+                        path_viewindex=np.asarray(item["path_viewindex"], np.int32),
+                        action_viewindex=np.asarray(item["action_viewindex"], np.int32),
+                        rel_act_angles=np.asarray(item["rel_act_angles"], np.float32),
+                        instr_ids=item["instr_ids"],
+                        instr_encodings=item["instr_encodings"],
+                    )
+                )
+    return records
+
+
+class TrajectoryDataset:
+    """Fixed-shape example assembly over trajectory records."""
+
+    def __init__(
+        self,
+        records: List[TrajRecord],
+        graphs: Dict[str, NavGraph],
+        feat_db,  # FeatureDB returning (36, image_feat_size [+ prob_size])
+        image_feat_size: int = 768,
+        image_prob_size: int = 1000,
+        angle_feat_size: int = 4,
+        max_txt_len: int = 80,
+        max_hist_len: int = 8,  # max history steps (reference caps at 30)
+        hist_enc_pano: bool = True,
+    ):
+        self.records = records
+        self.graphs = graphs
+        self.feat_db = feat_db
+        self.image_feat_size = image_feat_size
+        self.image_prob_size = image_prob_size
+        self.angle_feat_size = angle_feat_size
+        self.max_txt_len = max_txt_len
+        self.max_hist_len = max_hist_len
+        self.hist_enc_pano = hist_enc_pano
+        self.angle_table = all_point_angle_feature(angle_feat_size)  # (36,36,A)
+
+        # (i_traj, j_instr, path_len) and (i_traj, j_instr, t) refs
+        # (r2r_data.py:126-136)
+        self.traj_refer: List[Tuple[int, int, int]] = []
+        self.traj_step_refer: List[Tuple[int, int, int]] = []
+        for n, rec in enumerate(self.records):
+            path_len = min(len(rec.path), self.max_hist_len)
+            for j in range(len(rec.instr_encodings)):
+                self.traj_refer.append((n, j, path_len))
+                self.traj_step_refer.extend(
+                    (n, j, t) for t in range(path_len)
+                )
+
+    # ------------------------------------------------------------------
+    def _features(self, scan: str, vp: str) -> np.ndarray:
+        return self.feat_db.get(scan, vp)
+
+    def history_arrays(self, rec: TrajRecord, t_cur: int,
+                       want_probs: bool = False) -> Dict[str, np.ndarray]:
+        """History features for steps < t_cur, padded to max_hist_len
+        (r2r_data.py:264-315)."""
+        h = self.max_hist_len
+        d, a = self.image_feat_size, self.angle_feat_size
+        out = {
+            "hist_img": np.zeros((h, d), np.float32),
+            "hist_ang": np.zeros((h, a), np.float32),
+            "hist_mask": np.zeros((h + 1,), bool),  # +1 for [CLS]
+            "hist_len": t_cur,
+        }
+        out["hist_mask"][: t_cur + 1] = True
+        if self.hist_enc_pano:
+            out["hist_pano_img"] = np.zeros((h, NUM_VIEWS, d), np.float32)
+            out["hist_pano_ang"] = np.zeros((h, NUM_VIEWS, a), np.float32)
+        if want_probs:
+            out["hist_img_probs"] = np.zeros((h, self.image_prob_size), np.float32)
+
+        for t in range(t_cur):
+            vp = rec.path[t]
+            vidx = int(rec.path_viewindex[t])
+            fts = self._features(rec.scan, vp)
+            out["hist_img"][t] = fts[vidx, : self.image_feat_size]
+            if t != len(rec.path) - 1:  # non-stop step has an action angle
+                out["hist_ang"][t] = angle_features(
+                    rec.rel_act_angles[t, 0], rec.rel_act_angles[t, 1], a
+                )
+            if self.hist_enc_pano:
+                out["hist_pano_img"][t] = fts[:, : self.image_feat_size]
+                out["hist_pano_ang"][t] = self.angle_table[vidx]
+            if want_probs:
+                logits = fts[vidx, self.image_feat_size:
+                             self.image_feat_size + self.image_prob_size]
+                e = np.exp(logits - logits.max())
+                out["hist_img_probs"][t] = e / e.sum()
+        return out
+
+    def ob_pano_arrays(self, rec: TrajRecord, t_cur: int) -> Dict[str, np.ndarray]:
+        """Pano-layout observation at step t_cur: 36 views + STOP
+        (r2r_data.py:204-220). Candidates marked nav type 1, STOP 2."""
+        g = self.graphs[rec.scan]
+        vp = rec.path[t_cur]
+        node = g.index(vp)
+        vidx = int(rec.path_viewindex[t_cur])
+        fts = self._features(rec.scan, vp)
+
+        n = NUM_VIEWS + 1
+        ob_img = np.zeros((n, self.image_feat_size), np.float32)
+        ob_img[:NUM_VIEWS] = fts[:, : self.image_feat_size]
+        ob_ang = np.zeros((n, self.angle_feat_size), np.float32)
+        ob_ang[:NUM_VIEWS] = self.angle_table[vidx]
+        ob_nav = np.zeros((n,), np.int32)
+        ob_nav[NUM_VIEWS] = 2
+        cand_views = g.nbr_point_id[node][g.nbr_index[node] >= 0]
+        ob_nav[cand_views] = 1
+
+        if rec.action_viewindex[t_cur] != -1:
+            gt_label = int(rec.action_viewindex[t_cur])
+            gt_angle = standardize_radians(rec.rel_act_angles[t_cur])
+        else:
+            gt_label = NUM_VIEWS  # STOP token
+            gt_angle = np.zeros((2,), np.float32)
+
+        return {
+            "ob_img": ob_img,
+            "ob_ang": ob_ang,
+            "ob_nav": ob_nav,
+            "ob_mask": np.ones((n,), bool),
+            "ob_action_viewindex": np.int32(gt_label),
+            "ob_action_angles": np.asarray(gt_angle, np.float32),
+        }
+
+    def progress(self, rec: TrajRecord, t_cur: int) -> float:
+        """Normalized progress label (r2r_data.py:337-345)."""
+        g = self.graphs[rec.scan]
+        start, cur, end = rec.path[0], rec.path[t_cur], rec.path[-1]
+        if cur == end:
+            return 1.0
+        if start == cur:
+            return 0.0
+        total = float(g.dist[g.index(start), g.index(end)])
+        remained = float(g.dist[g.index(cur), g.index(end)])
+        return 1.0 - remained / max(total, 0.1)
+
+    def txt_arrays(self, rec: TrajRecord, j_instr: int) -> Dict[str, np.ndarray]:
+        enc = rec.instr_encodings[j_instr][: self.max_txt_len]
+        ids = np.zeros((self.max_txt_len,), np.int32)
+        mask = np.zeros((self.max_txt_len,), bool)
+        ids[: len(enc)] = enc
+        mask[: len(enc)] = True
+        return {"txt_ids": ids, "txt_mask": mask}
