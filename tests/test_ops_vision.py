@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vln_hamt_tpu.ops import dtw_ndtw_device, fused_attention
+from vln_hamt_tpu.eval.metrics import dtw_scores
+
+
+def test_device_dtw_matches_host():
+    rng = np.random.default_rng(0)
+    v = 10
+    pos = rng.standard_normal((v, 3)) * 5
+    dist = np.sqrt(((pos[:, None] - pos[None]) ** 2).sum(-1)).astype(np.float32)
+    b, p, r = 4, 6, 5
+    pred = rng.integers(0, v, (b, p))
+    plen = rng.integers(2, p + 1, b)
+    ref = rng.integers(0, v, (b, r))
+    rlen = rng.integers(2, r + 1, b)
+    cost = dist[pred[:, :, None], ref[:, None, :]]
+    got = np.asarray(dtw_ndtw_device(jnp.asarray(cost), jnp.asarray(plen),
+                                     jnp.asarray(rlen)))
+    for i in range(b):
+        want = dtw_scores(dist, pred[i, : plen[i]], ref[i, : rlen[i]])["nDTW"]
+        assert got[i] == pytest.approx(want, abs=1e-4)
+
+
+def test_fused_attention_matches_reference():
+    rng = np.random.default_rng(1)
+    b, h, lq, lk, dh = 2, 4, 8, 16, 64
+    q = rng.standard_normal((b, h, lq, dh)).astype(np.float32)
+    k = rng.standard_normal((b, h, lk, dh)).astype(np.float32)
+    v = rng.standard_normal((b, h, lk, dh)).astype(np.float32)
+    am = np.where(rng.random((b, lk)) < 0.8, 0.0, -10000.0).astype(np.float32)
+    got = np.asarray(fused_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), jnp.asarray(am),
+                                     interpret=True))
+    scores = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dh) + am[:, None, None, :]
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_pallas_attention_in_model_matches_xla():
+    """Flag-gated kernel must reproduce the XLA attention numerics."""
+    import dataclasses
+
+    from vln_hamt_tpu.configs import ModelConfig
+    from vln_hamt_tpu.models.hamt import HAMT, init_hamt_params
+
+    cfg = ModelConfig(hidden_size=64, num_attention_heads=4,
+                      intermediate_size=128, num_l_layers=1, num_x_layers=1,
+                      num_h_pano_layers=1, image_feat_size=16,
+                      max_position_embeddings=64, max_action_steps=8)
+    model, _, params, _ = init_hamt_params(cfg, jax.random.PRNGKey(0),
+                                           num_ob_tokens=10, instr_len=8,
+                                           hist_len=3)
+    ids = jnp.ones((2, 8), jnp.int32)
+    mask = jnp.asarray(np.array([[1, 1, 1, 1, 1, 0, 0, 0]] * 2, bool))
+    ref_out = model.apply({"params": params}, ids, mask, method=HAMT.encode_text)
+
+    cfg_p = dataclasses.replace(cfg, use_pallas_attention=True)
+    model_p = HAMT(cfg_p)
+    got = model_p.apply({"params": params}, ids, mask, method=HAMT.encode_text)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_out), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_vit_and_featurizer():
+    import dataclasses
+
+    from vln_hamt_tpu.vision import PanoramaFeaturizer, ViT, init_vit_params
+    from vln_hamt_tpu.vision.vit import ViTConfig, resize_pos_embed
+
+    cfg = ViTConfig(img_size=(32, 32), patch_size=16, hidden_size=64,
+                    num_layers=2, num_heads=4, num_classes=10)
+    model = ViT(cfg)
+    params = init_vit_params(model, jax.random.PRNGKey(0))
+    imgs = jnp.zeros((3, 32, 32, 3), jnp.float32)
+    feats, logits = model.apply({"params": params}, imgs, deterministic=True)
+    assert feats.shape == (3, 64)
+    assert logits.shape == (3, 10)
+
+    # pos-embed resize round trip
+    pos = params["pos_embed"]
+    resized = resize_pos_embed(pos, (4, 4), cfg.grid)
+    assert resized.shape == (1, 17, 64)
+
+    # featurizer pipeline over synthetic panoramas
+    feat = PanoramaFeaturizer(model, params, panos_per_batch=2)
+    rng = np.random.default_rng(0)
+
+    def gen():
+        for i in range(3):
+            yield ("scanA", f"vp{i}", rng.integers(0, 255, (36, 32, 32, 3),
+                                                   dtype=np.uint8))
+
+    out = feat.extract(gen())
+    assert set(out) == {"scanA_vp0", "scanA_vp1", "scanA_vp2"}
+    assert out["scanA_vp0"].shape == (36, 64 + 10)
+    # deterministic
+    out2 = feat.extract([("scanA", "vp0", np.zeros((36, 32, 32, 3), np.uint8))])
+    out3 = feat.extract([("scanA", "vp0", np.zeros((36, 32, 32, 3), np.uint8))])
+    np.testing.assert_array_equal(out2["scanA_vp0"], out3["scanA_vp0"])

@@ -1,0 +1,246 @@
+"""Numerical parity vs the reference torch NavCMT.
+
+Instantiates the ACTUAL reference model (finetune_src/models/
+vilmodel_cmt.py — pure torch+transformers, no MatterSim needed),
+converts its randomly-initialized weights through
+``convert_navcmt_state_dict``, and checks that the flax HAMT reproduces
+the reference forward outputs for all three modes at <= 1e-4. This is
+the checkpoint-reuse guarantee: released reference weights will produce
+reference logits.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_PATH = "/root/reference/finetune_src"
+
+import jax
+import jax.numpy as jnp
+
+from vln_hamt_tpu.configs import ModelConfig
+from vln_hamt_tpu.models.convert import (
+    convert_critic_state_dict,
+    convert_navcmt_state_dict,
+)
+from vln_hamt_tpu.models.hamt import Critic, HAMT
+
+H, HEADS, INTER, IMG, VOCAB = 48, 4, 96, 16, 60
+L_LAYERS, X_LAYERS, PANO_LAYERS = 2, 2, 1
+B, L, HIST, NOB, V = 2, 7, 3, 12, 36
+
+
+def _make_ref_model(act_pred_token="ob_txt", no_lang_ca=False):
+    sys.path.insert(0, REF_PATH)
+    try:
+        from models.vilmodel_cmt import NavCMT
+    finally:
+        sys.path.remove(REF_PATH)
+    from transformers import BertConfig
+
+    cfg = BertConfig(
+        vocab_size=VOCAB, hidden_size=H, num_hidden_layers=L_LAYERS,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=32, type_vocab_size=2,
+    )
+    cfg.img_feature_type = ""
+    cfg.image_feat_size = IMG
+    cfg.angle_feat_size = 4
+    cfg.num_l_layers = L_LAYERS
+    cfg.num_r_layers = 0
+    cfg.num_h_layers = 0
+    cfg.num_x_layers = X_LAYERS
+    cfg.hist_enc_pano = True
+    cfg.num_h_pano_layers = PANO_LAYERS
+    cfg.fix_lang_embedding = False
+    cfg.fix_hist_embedding = False
+    cfg.fix_obs_embedding = False
+    cfg.update_lang_bert = True
+    cfg.output_attentions = False
+    cfg.pred_head_dropout_prob = 0.1
+    cfg.max_action_steps = 8
+    cfg.no_lang_ca = no_lang_ca
+    cfg.act_pred_token = act_pred_token
+    torch.manual_seed(0)
+    model = NavCMT(cfg)
+    model.eval()
+    return model
+
+
+def _flax_cfg(act_pred_token="ob_txt", no_lang_ca=False):
+    return ModelConfig(
+        vocab_size=VOCAB, hidden_size=H, num_attention_heads=HEADS,
+        intermediate_size=INTER, max_position_embeddings=32,
+        num_l_layers=L_LAYERS, num_x_layers=X_LAYERS,
+        num_h_pano_layers=PANO_LAYERS, image_feat_size=IMG,
+        max_action_steps=8, act_pred_token=act_pred_token,
+        no_lang_ca=no_lang_ca,
+    )
+
+
+@pytest.fixture(scope="module")
+def parity_pair():
+    ref = _make_ref_model()
+    params = convert_navcmt_state_dict(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+        num_l_layers=L_LAYERS, num_x_layers=X_LAYERS,
+        num_h_pano_layers=PANO_LAYERS,
+    )
+    model = HAMT(_flax_cfg())
+    return ref, model, params
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    txt_ids = rng.integers(1, VOCAB, (B, L)).astype(np.int64)
+    txt_mask = np.ones((B, L), bool)
+    txt_mask[1, 5:] = False
+    nav = np.zeros((B, NOB), np.int64)
+    nav[:, :4] = 1
+    nav[:, 4] = 2
+    return {
+        "txt_ids": txt_ids,
+        "txt_mask": txt_mask,
+        "ob_img": rng.standard_normal((B, NOB, IMG)).astype(np.float32),
+        "ob_ang": rng.standard_normal((B, NOB, 4)).astype(np.float32) * 0.3,
+        "ob_nav": nav,
+        "hist_img": rng.standard_normal((B, IMG)).astype(np.float32),
+        "hist_ang": rng.standard_normal((B, 4)).astype(np.float32) * 0.3,
+        "pano_img": rng.standard_normal((B, V, IMG)).astype(np.float32),
+        "pano_ang": rng.standard_normal((B, V, 4)).astype(np.float32) * 0.3,
+    }
+
+
+def test_text_encoder_parity(parity_pair):
+    ref, model, params = parity_pair
+    inp = _inputs()
+    with torch.no_grad():
+        want = ref("language", txt_ids=torch.from_numpy(inp["txt_ids"]),
+                   txt_masks=torch.from_numpy(inp["txt_mask"])).numpy()
+    got = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(inp["txt_ids"]),
+                                 jnp.asarray(inp["txt_mask"]),
+                                 method=HAMT.encode_text))
+    # compare only non-padded positions
+    m = inp["txt_mask"]
+    np.testing.assert_allclose(got[m], want[m], atol=1e-4)
+
+
+def test_history_parity(parity_pair):
+    ref, model, params = parity_pair
+    inp = _inputs(1)
+    # global [CLS] history token (img_feats=None path)
+    with torch.no_grad():
+        want0 = ref("history").numpy()  # (1, D)
+    got0 = np.asarray(model.apply({"params": params}, 1,
+                                  method=HAMT.init_history))
+    np.testing.assert_allclose(got0, want0, atol=1e-4)
+
+    # per-step token
+    with torch.no_grad():
+        want = ref(
+            "history",
+            hist_img_feats=torch.from_numpy(inp["hist_img"]),
+            hist_ang_feats=torch.from_numpy(inp["hist_ang"]),
+            hist_pano_img_feats=torch.from_numpy(inp["pano_img"]),
+            hist_pano_ang_feats=torch.from_numpy(inp["pano_ang"]),
+            ob_step_ids=torch.LongTensor([2]),
+        ).numpy()
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(inp["hist_img"]),
+        jnp.asarray(inp["hist_ang"]), 2, jnp.asarray(inp["pano_img"]),
+        jnp.asarray(inp["pano_ang"]), method=HAMT.encode_history))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def _plan_parity(act_pred_token, no_lang_ca=False):
+    ref = _make_ref_model(act_pred_token, no_lang_ca)
+    params = convert_navcmt_state_dict(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()},
+        num_l_layers=L_LAYERS, num_x_layers=X_LAYERS,
+        num_h_pano_layers=PANO_LAYERS,
+    )
+    model = HAMT(_flax_cfg(act_pred_token, no_lang_ca))
+    inp = _inputs(2)
+    rng = np.random.default_rng(3)
+    hist_tokens = rng.standard_normal((B, HIST, H)).astype(np.float32)
+    hist_mask = np.ones((B, HIST), bool)
+    hist_mask[1, 2:] = False
+    ob_mask = np.ones((B, NOB), bool)
+    ob_mask[:, 10:] = False
+
+    with torch.no_grad():
+        t_txt = ref("language", txt_ids=torch.from_numpy(inp["txt_ids"]),
+                    txt_masks=torch.from_numpy(inp["txt_mask"]))
+        if no_lang_ca:
+            t_txt_in = [x for x in t_txt]
+        else:
+            t_txt_in = t_txt
+        act_logits, txt_out, hist_out, ob_out = ref(
+            "visual",
+            txt_embeds=(torch.stack(t_txt_in) if no_lang_ca else t_txt_in),
+            txt_masks=torch.from_numpy(inp["txt_mask"]),
+            hist_embeds=torch.from_numpy(hist_tokens),
+            hist_masks=torch.from_numpy(hist_mask),
+            ob_img_feats=torch.from_numpy(inp["ob_img"]),
+            ob_ang_feats=torch.from_numpy(inp["ob_ang"]),
+            ob_nav_types=torch.from_numpy(inp["ob_nav"]),
+            ob_masks=torch.from_numpy(ob_mask),
+        )
+        want_logits = act_logits.numpy()
+        if no_lang_ca:
+            want_state = hist_out[:, 0].numpy()
+        else:
+            want_state = (txt_out[:, 0] * hist_out[:, 0]).numpy()
+
+    j_txt = model.apply({"params": params}, jnp.asarray(inp["txt_ids"]),
+                        jnp.asarray(inp["txt_mask"]), method=HAMT.encode_text)
+    got_logits, got_state = model.apply(
+        {"params": params}, j_txt, jnp.asarray(inp["txt_mask"]),
+        jnp.asarray(hist_tokens), jnp.asarray(hist_mask),
+        jnp.asarray(inp["ob_img"]), jnp.asarray(inp["ob_ang"]),
+        jnp.asarray(inp["ob_nav"]), jnp.asarray(ob_mask), method=HAMT.plan)
+    got_logits = np.asarray(got_logits)
+    finite = np.isfinite(want_logits)
+    np.testing.assert_allclose(got_logits[finite], want_logits[finite],
+                               atol=2e-4)
+    assert np.all(got_logits[~finite] == -np.inf)
+    np.testing.assert_allclose(np.asarray(got_state), want_state, atol=2e-4)
+
+
+def test_plan_parity_ob_txt(parity_pair):
+    _plan_parity("ob_txt")
+
+
+@pytest.mark.slow
+def test_plan_parity_variants():
+    for variant in ("ob", "ob_hist", "ob_txt_hist"):
+        _plan_parity(variant)
+
+
+def test_critic_parity():
+    sys.path.insert(0, REF_PATH)
+    try:
+        sys.modules.pop("utils", None)
+        sys.modules.pop("utils.misc", None)
+        from models.model_HAMT import Critic as RefCritic
+    finally:
+        sys.path.remove(REF_PATH)
+
+    class Args:
+        dropout = 0.5
+
+    torch.manual_seed(1)
+    ref = RefCritic(Args())
+    ref.eval()
+    cparams = convert_critic_state_dict(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+    state = np.random.default_rng(0).standard_normal((3, 768)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(state)).numpy()
+    critic = Critic(ModelConfig())
+    got = np.asarray(critic.apply({"params": cparams}, jnp.asarray(state)))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,151 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vln_hamt_tpu.configs import ModelConfig
+from vln_hamt_tpu.data.fixtures import make_synthetic_world
+from vln_hamt_tpu.pretrain import (
+    PretrainBatcher,
+    PretrainTrainer,
+    TrajectoryDataset,
+    make_synthetic_trajectories,
+)
+from vln_hamt_tpu.pretrain.tasks import sprel_target_table
+from vln_hamt_tpu.pretrain.trajectory_data import IGNORE_ID, standardize_radians
+
+
+@pytest.fixture(scope="module")
+def pretrain_setup():
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=12, num_items=10,
+                                 feat_dim=48, seed=2)  # 32 img + 16 "probs"
+    recs = make_synthetic_trajectories(world)
+    ds = TrajectoryDataset(recs, world.graphs, world.feat_db,
+                           image_feat_size=32, image_prob_size=16,
+                           max_txt_len=32, max_hist_len=6)
+    batcher = PretrainBatcher(ds, seed=0, vocab_mask_range=(1000, 2000))
+    return world, recs, ds, batcher
+
+
+def test_trajectory_records_consistent(pretrain_setup):
+    world, recs, ds, _ = pretrain_setup
+    for rec in recs:
+        g = world.graphs[rec.scan]
+        t = len(rec.path)
+        # last step is STOP
+        assert rec.action_viewindex[t - 1] == -1
+        for i in range(t - 1):
+            # the action's view index becomes the next step's view index
+            assert rec.path_viewindex[i + 1] == rec.action_viewindex[i]
+        # angles wrapped
+        assert (np.abs(rec.rel_act_angles[:, 0]) <= np.pi).all()
+
+
+def test_standardize_radians():
+    np.testing.assert_allclose(standardize_radians(3 * np.pi), -np.pi, atol=1e-6)
+    np.testing.assert_allclose(standardize_radians(-0.1), -0.1, atol=1e-6)
+    np.testing.assert_allclose(standardize_radians(2 * np.pi + 0.2), 0.2, atol=1e-6)
+
+
+def test_sprel_table():
+    tab = sprel_target_table()
+    assert tab.shape == (36, 36, 2)
+    # view 13 vs anchor 12: +30deg heading, same elevation
+    np.testing.assert_allclose(tab[12, 13], [np.pi / 6, 0.0], atol=1e-6)
+    # view 24 (up level, heading 0) vs anchor 12 (horizon): +30deg elevation
+    np.testing.assert_allclose(tab[12, 24], [0.0, np.pi / 6], atol=1e-6)
+    # view 0 (down level) vs anchor 24 (up level): -60deg elevation
+    np.testing.assert_allclose(tab[24, 0], [0.0, -np.pi / 3], atol=1e-6)
+
+
+def test_mlm_batch_schema(pretrain_setup):
+    _, _, ds, batcher = pretrain_setup
+    b = batcher.batch("mlm", 4)
+    assert b["txt_ids"].shape == (4, 32)
+    assert b["txt_labels"].shape == (4, 32)
+    masked = b["txt_labels"] != IGNORE_ID
+    assert masked.any(axis=1).all(), "every sample must mask >= 1 token"
+    # labels only where real tokens
+    assert not (masked & ~b["txt_mask"]).any()
+    # 80% of masked positions become [MASK]
+    frac_mask_tok = (b["txt_ids"][masked] == batcher.mask_token_id).mean()
+    assert 0.3 < frac_mask_tok <= 1.0
+
+
+def test_mrc_batch_schema(pretrain_setup):
+    _, _, ds, batcher = pretrain_setup
+    b = batcher.batch("mrc", 4)
+    assert b["hist_img_probs"].shape == (4, 6, 16)
+    # masked steps have zeroed features
+    m = b["hist_mrc_masks"]
+    assert m.any(axis=1).all()
+    assert np.allclose(b["hist_img"][m], 0.0)
+    # probs are distributions on real steps
+    for i in range(4):
+        t = b["hist_len"][i]
+        if t > 0:
+            np.testing.assert_allclose(b["hist_img_probs"][i, :t].sum(-1), 1.0,
+                                       rtol=1e-4)
+
+
+def test_sap_batch_schema(pretrain_setup):
+    _, _, ds, batcher = pretrain_setup
+    b = batcher.batch("sap", 6)
+    assert b["ob_img"].shape == (6, 37, 32)
+    assert b["ob_nav"].shape == (6, 37)
+    assert (b["ob_nav"][:, 36] == 2).all()  # STOP token
+    # labels index candidate views or STOP
+    for i in range(6):
+        lbl = b["ob_action_viewindex"][i]
+        assert 0 <= lbl <= 36
+        if lbl < 36:
+            assert b["ob_nav"][i, lbl] == 1
+
+
+def test_itm_batch_schema(pretrain_setup):
+    _, _, ds, batcher = pretrain_setup
+    b = batcher.batch("itm", 4)
+    assert b["itm_neg_idxs"].shape == (4, 2)
+    for i in range(4):
+        assert i not in b["itm_neg_idxs"][i]
+    assert b["itm_shuffled_pos"].shape[1:] == (4, 6)
+    # shuffles permute only the real prefix
+    for k in range(b["itm_shuffled_pos"].shape[0]):
+        for i in range(4):
+            t = b["hist_len"][i]
+            assert sorted(b["itm_shuffled_pos"][k, i, :t].tolist()) == list(range(t))
+
+
+TINY = ModelConfig(hidden_size=64, num_attention_heads=4, intermediate_size=128,
+                   num_l_layers=2, num_x_layers=2, num_h_pano_layers=1,
+                   image_feat_size=32, image_prob_size=16,
+                   max_position_embeddings=64, max_action_steps=16)
+
+
+@pytest.mark.slow
+def test_pretrain_all_tasks_train(pretrain_setup):
+    _, _, ds, batcher = pretrain_setup
+    trainer = PretrainTrainer(TINY, batcher, batch_size=4, lr=1e-3,
+                              warmup_steps=5, total_steps=200,
+                              mix_ratio=(1, 1, 1, 1, 1, 1))
+    seen = set()
+    for _ in range(12):
+        task, loss, aux = trainer.train_step()
+        seen.add(task)
+        assert np.isfinite(loss), task
+    val = trainer.validate(batcher, n_batches=1)
+    assert set(val) == {"mlm", "mrc", "itm", "sap", "sar", "sprel"}
+    for task, stats in val.items():
+        assert np.isfinite(stats["loss"]), task
+
+
+def test_scheduler_deterministic():
+    from vln_hamt_tpu.pretrain.trainer import TaskScheduler
+
+    s1 = TaskScheduler(["a", "b", "c"], [5, 1, 1], seed=7)
+    s2 = TaskScheduler(["a", "b", "c"], [5, 1, 1], seed=7)
+    seq1 = [s1.sample(i) for i in range(50)]
+    seq2 = [s2.sample(i) for i in range(50)]
+    assert seq1 == seq2
+    # ratios roughly respected
+    assert seq1.count("a") > seq1.count("b")

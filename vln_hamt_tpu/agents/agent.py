@@ -244,14 +244,10 @@ class HAMTAgent:
             }
             for i in range(b)
         ]
-        # reward bookkeeping (agent_cmt.py:283-289)
-        goals = [env.graphs[it["scan"]].index(it["path"][-1]) for it in env.batch]
-        gt_idx = [graphs[i].indices(env.batch[i]["path"]) for i in range(b)]
-        ndtw = IncrementalNDTW(
-            [g.dist for g in graphs], gt_idx, obs.node.tolist()
-        )
-        last_dist = obs.dist_to_goal.copy()
-        last_ndtw = np.array([ndtw.value(i) for i in range(b)], np.float32)
+        # reward bookkeeping (agent_cmt.py:283-289); ep_state is the
+        # task-specific mutable episode state consumed by the reward /
+        # transition hooks (variant agents extend it)
+        ep_state = self._episode_state_init(obs, graphs, traj)
 
         ended = np.zeros((b,), bool)
         visited = [set([int(obs.node[i])]) for i in range(b)]
@@ -290,40 +286,22 @@ class HAMTAgent:
             if record_for_replay:
                 logits_rec.append(np.asarray(logits))
 
+            self._pre_env_step(t, a_t, live, ended, obs, ep_state, traj)
             env_actions = np.where(live & (a_t != stop), a_t, -1)
-            prev_nodes = obs.node.copy()
             obs = env.step(env_actions, obs)
             for i in range(b):
                 if env_actions[i] >= 0:
                     traj[i]["path"].append(self._pose_tuple(env, i))
                     visited[i].add(int(obs.node[i]))
-                    ndtw.update(i, int(obs.node[i]))
+                    if "ndtw" in ep_state:
+                        ep_state["ndtw"].update(i, int(obs.node[i]))
 
             if record_for_replay:
-                dist = obs.dist_to_goal
-                cur_ndtw = np.array([ndtw.value(i) for i in range(b)], np.float32)
-                for i in range(b):
-                    if not live[i]:
-                        continue
-                    if a_t[i] == stop:  # stop action (agent_cmt.py:424-428)
-                        rewards[t, i] = (
-                            2.0 + cur_ndtw[i] * 2.0 if dist[i] < 3.0 else -2.0
-                        )
-                    else:
-                        delta = -(dist[i] - last_dist[i])
-                        nr = cur_ndtw[i] - last_ndtw[i]
-                        # sign-quantified fidelity reward (agent_cmt.py:
-                        # 430-438; the reference raises on delta == 0,
-                        # which CAN legally occur with equidistant nodes
-                        # — we treat it as regress)
-                        rewards[t, i] = (1.0 + nr) if delta > 0.0 else (-1.0 + nr)
-                        # miss-the-target penalty (agent_cmt.py:439-441)
-                        if last_dist[i] <= 1.0 and dist[i] - last_dist[i] > 0.0:
-                            rewards[t, i] -= (1.0 - last_dist[i]) * 2.0
-                last_dist = dist.copy()
-                last_ndtw = cur_ndtw
+                rewards[t] = self._step_rewards(t, a_t, live, ended, obs,
+                                                ep_state)
 
-            ended |= a_t == stop
+            ended = self._update_ended(ended, a_t, ep_state,
+                                       train_rl=record_for_replay)
             if ended.all():
                 break
 
@@ -346,6 +324,55 @@ class HAMTAgent:
                 "rollout_logits": np.stack(logits_rec, axis=0),  # (T_used, B, N)
             }
         return traj, extras
+
+    # ------------------------------------------------- rollout hooks
+    # Task-variant agents override these; defaults implement the R2R
+    # reward shaping and episode-termination semantics
+    # (agent_cmt.py:407-447).
+
+    def _episode_state_init(self, obs, graphs, traj) -> Dict[str, Any]:
+        b = obs.batch_size
+        gt_idx = [graphs[i].indices(self.env.batch[i]["path"]) for i in range(b)]
+        ndtw = IncrementalNDTW([g.dist for g in graphs], gt_idx,
+                               obs.node.tolist())
+        return {
+            "ndtw": ndtw,
+            "last_dist": obs.dist_to_goal.copy(),
+            "last_ndtw": np.array([ndtw.value(i) for i in range(b)], np.float32),
+        }
+
+    def _pre_env_step(self, t, a_t, live, ended, obs, ep_state, traj) -> None:
+        """Called after action selection, before the env transition."""
+
+    def _step_rewards(self, t, a_t, live, ended, obs, ep_state) -> np.ndarray:
+        b = len(a_t)
+        stop = self.stop_slot
+        rewards = np.zeros((b,), np.float32)
+        ndtw = ep_state["ndtw"]
+        dist = obs.dist_to_goal
+        cur_ndtw = np.array([ndtw.value(i) for i in range(b)], np.float32)
+        last_dist, last_ndtw = ep_state["last_dist"], ep_state["last_ndtw"]
+        for i in range(b):
+            if not live[i]:
+                continue
+            if a_t[i] == stop:  # stop action (agent_cmt.py:424-428)
+                rewards[i] = 2.0 + cur_ndtw[i] * 2.0 if dist[i] < 3.0 else -2.0
+            else:
+                delta = -(dist[i] - last_dist[i])
+                nr = cur_ndtw[i] - last_ndtw[i]
+                # sign-quantified fidelity reward (agent_cmt.py:430-438;
+                # the reference raises on delta == 0, which CAN legally
+                # occur with equidistant nodes — we treat it as regress)
+                rewards[i] = (1.0 + nr) if delta > 0.0 else (-1.0 + nr)
+                # miss-the-target penalty (agent_cmt.py:439-441)
+                if last_dist[i] <= 1.0 and dist[i] - last_dist[i] > 0.0:
+                    rewards[i] -= (1.0 - last_dist[i]) * 2.0
+        ep_state["last_dist"] = dist.copy()
+        ep_state["last_ndtw"] = cur_ndtw
+        return rewards
+
+    def _update_ended(self, ended, a_t, ep_state, train_rl: bool) -> np.ndarray:
+        return ended | (a_t == self.stop_slot)
 
     @staticmethod
     def _pose_tuple(env: R2RNavEnv, i: int) -> Tuple[str, float, float]:
@@ -437,9 +464,14 @@ class HAMTAgent:
                 else:
                     results[tr["instr_id"]] = tr
         self.env = old_env
-        return [
-            {"instr_id": k, "trajectory": v["path"]} for k, v in results.items()
-        ]
+        out = []
+        for k, v in results.items():
+            pred = {"instr_id": k, "trajectory": v["path"]}
+            for extra in ("midstop", "predObjId"):
+                if extra in v:
+                    pred[extra] = v[extra]
+            out.append(pred)
+        return out
 
     # ------------------------------------------------------ checkpoints
     def save(self, path: str) -> None:

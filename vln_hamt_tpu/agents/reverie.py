@@ -1,0 +1,495 @@
+"""REVERIE agent: joint navigation + object grounding.
+
+Parity target: ``NavRefCMTAgent`` (finetune_src/reverie/agent.py) with
+the NavRefCMT model (reverie/vlnbert_navref.py). Action semantics: the
+action space is the obs layout PLUS one appended slot whose logit is the
+MAX object logit — selecting it stops the episode and grounds the
+predicted object (reverie/agent.py:251-254, 298-304). Supervision is a
+dual CE: action slots (STOP = the appended slot) + the ground-truth
+object among the final viewpoint's candidates (agent.py:271-275).
+
+Deviation (documented): the reference leaves the layout's own STOP
+token selectable, which would crash its candidate lookup if ever chosen
+(agent.py:299-301 vs env candidate indexing); we mask it with -inf so
+the appended object-stop slot is the only stop action.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import HAMTConfig
+from ..env.observation import IGNORE_ID, ObsBatch
+from ..models.hamt import HAMT
+from .agent import HAMTAgent
+from .losses import il_loss, masked_log_softmax
+from .rollout import (
+    FINAL_KEY_SALT,
+    HIST0_KEY_SALT,
+    TXT_KEY_SALT,
+    EpisodeOutputs,
+    _hist_mask,
+    step_key,
+)
+
+
+def _full_logits(act_logits: jnp.ndarray, obj_logits: jnp.ndarray,
+                 stop_slot: int) -> jnp.ndarray:
+    """[act slots (layout STOP masked) ; max-obj logit] (agent.py:251-254)."""
+    act = act_logits.at[:, stop_slot].set(-jnp.inf)
+    max_obj = jnp.max(obj_logits, axis=-1, keepdims=True)
+    # guard: a viewpoint with zero objects would make stopping
+    # impossible and the softmax degenerate; fall back to logit 0
+    max_obj = jnp.where(jnp.isfinite(max_obj), max_obj, 0.0)
+    return jnp.concatenate([act, max_obj], axis=1)
+
+
+def build_ref_policy_step(model: HAMT, critic, cfg, stop_slot: int):
+    @partial(jax.jit, static_argnames=("mode", "deterministic"),
+             donate_argnames=("hist_cache",))
+    def policy_step(params, cparams, txt_embeds, txt_mask, hist_cache,
+                    hist_len, t, ob_img, ob_ang, ob_nav, ob_mask,
+                    obj_fts, obj_angs, obj_pos, obj_mask,
+                    hist_img, pano_img, pano_ang, live, forbid, given_action,
+                    rng, mode="argmax", deterministic=True):
+        h_max = hist_cache.shape[1]
+        k_plan, k_critic, k_hist, k_act = jax.random.split(rng, 4)
+        apply = partial(model.apply, {"params": params})
+        act_logits, obj_logits, state = apply(
+            txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
+            ob_img, ob_ang, ob_nav, ob_mask,
+            obj_fts, obj_angs, obj_pos, obj_mask, deterministic,
+            method=HAMT.plan_ref, rngs={"dropout": k_plan},
+        )
+        logits = _full_logits(act_logits, obj_logits, stop_slot)
+        masked_logits = jnp.where(forbid, -jnp.inf, logits)
+        if mode == "sample":
+            action = jax.random.categorical(k_act, masked_logits, axis=-1)
+        elif mode == "argmax":
+            action = jnp.argmax(masked_logits, axis=-1)
+        elif mode == "teacher":
+            action = given_action
+        else:
+            raise ValueError(mode)
+        action = action.astype(jnp.int32)
+
+        value = critic.apply({"params": cparams}, state, deterministic,
+                             rngs={"dropout": k_critic})
+        # stop (appended slot) and layout STOP both have zero angle
+        n_ob = ob_ang.shape[1]
+        gather_a = jnp.where(action >= n_ob, stop_slot, action)
+        act_ang = jnp.take_along_axis(
+            ob_ang, gather_a[:, None, None], axis=1
+        ).squeeze(1)
+        new_tok = apply(
+            hist_img, act_ang, t, pano_img, pano_ang, deterministic,
+            method=HAMT.encode_history, rngs={"dropout": k_hist},
+        )
+        hist_cache = jax.lax.dynamic_update_slice(
+            hist_cache, new_tok[:, None, :].astype(hist_cache.dtype), (0, t + 1, 0)
+        )
+        hist_len = hist_len + live.astype(jnp.int32)
+        return action, logits, obj_logits, value, hist_cache, hist_len
+
+    return policy_step
+
+
+def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
+    def episode_forward(params, cparams, ep, rng, deterministic=False):
+        txt_ids, txt_mask = ep["txt_ids"], ep["txt_mask"]
+        b, t_steps = ep["actions"].shape
+        h_max = t_steps + 1
+
+        apply = partial(model.apply, {"params": params})
+        txt_embeds = apply(txt_ids, txt_mask, deterministic,
+                           method=HAMT.encode_text,
+                           rngs={"dropout": jax.random.fold_in(rng, TXT_KEY_SALT)})
+        hist0 = apply(b, deterministic, method=HAMT.init_history,
+                      rngs={"dropout": jax.random.fold_in(rng, HIST0_KEY_SALT)})
+        hist_cache = jnp.zeros((b, h_max, cfg.hidden_size), hist0.dtype)
+        hist_cache = hist_cache.at[:, 0].set(hist0)
+        hist_len = jnp.ones((b,), jnp.int32)
+
+        tm = lambda name: jnp.moveaxis(ep[name], 0, 1)
+        xs = dict(
+            ob_img=tm("ob_img"), ob_ang=tm("ob_ang"), ob_nav=tm("ob_nav"),
+            ob_mask=tm("ob_mask"),
+            obj_fts=tm("obj_fts"), obj_angs=tm("obj_angs"),
+            obj_pos=tm("obj_pos"), obj_mask=tm("obj_mask"),
+            hist_img=tm("hist_img"), pano_img=tm("hist_pano_img"),
+            pano_ang=tm("hist_pano_ang"),
+            action=tm("actions"), live=tm("step_mask"),
+            t=jnp.arange(t_steps, dtype=jnp.int32),
+            key=jax.vmap(lambda t: step_key(rng, t))(jnp.arange(t_steps)),
+        )
+
+        def body(carry, x):
+            hist_cache, hist_len = carry
+            k_plan, k_critic, k_hist, _ = jax.random.split(x["key"], 4)
+            act_logits, obj_logits, state = apply(
+                txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
+                x["ob_img"], x["ob_ang"], x["ob_nav"], x["ob_mask"],
+                x["obj_fts"], x["obj_angs"], x["obj_pos"], x["obj_mask"],
+                deterministic, method=HAMT.plan_ref, rngs={"dropout": k_plan},
+            )
+            logits = _full_logits(act_logits, obj_logits, stop_slot)
+            value = critic.apply({"params": cparams}, state, deterministic,
+                                 rngs={"dropout": k_critic})
+            n_ob = x["ob_ang"].shape[1]
+            gather_a = jnp.where(x["action"] >= n_ob, stop_slot, x["action"])
+            act_ang = jnp.take_along_axis(
+                x["ob_ang"], gather_a[:, None, None], axis=1
+            ).squeeze(1)
+            new_tok = apply(
+                x["hist_img"], act_ang, x["t"], x["pano_img"], x["pano_ang"],
+                deterministic, method=HAMT.encode_history,
+                rngs={"dropout": k_hist},
+            )
+            hist_cache = jax.lax.dynamic_update_slice(
+                hist_cache, new_tok[:, None, :].astype(hist_cache.dtype),
+                (0, x["t"] + 1, 0),
+            )
+            hist_len = hist_len + x["live"].astype(jnp.int32)
+            return (hist_cache, hist_len), (logits, obj_logits, state, value)
+
+        (hist_cache, hist_len), (logits, obj_logits, states, values) = (
+            jax.lax.scan(body, (hist_cache, hist_len), xs)
+        )
+
+        if "final_ob_img" in ep:
+            k_plan, k_critic = jax.random.split(
+                jax.random.fold_in(rng, FINAL_KEY_SALT))
+            _, _, last_state = apply(
+                txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
+                ep["final_ob_img"], ep["final_ob_ang"], ep["final_ob_nav"],
+                ep["final_ob_mask"], ep["final_obj_fts"], ep["final_obj_angs"],
+                ep["final_obj_pos"], ep["final_obj_mask"], deterministic,
+                method=HAMT.plan_ref, rngs={"dropout": k_plan},
+            )
+            last_value = jax.lax.stop_gradient(
+                critic.apply({"params": cparams}, last_state, deterministic,
+                             rngs={"dropout": k_critic})
+            )
+        else:
+            last_value = jnp.zeros((b,), jnp.float32)
+
+        return EpisodeOutputs(logits=logits, states=states, values=values,
+                              last_value=last_value, hist_cache=hist_cache), obj_logits
+
+    return episode_forward
+
+
+class ReverieAgent(HAMTAgent):
+    """Joint nav + grounding agent over :class:`ReverieNavEnv`."""
+
+    def __init__(self, cfg: HAMTConfig, env=None, seed: int = 0):
+        assert cfg.model.obj_feat_size > 0, "REVERIE needs obj_feat_size > 0"
+        super().__init__(cfg, env, seed=seed)
+        mcfg = cfg.model
+        self.ref_stop = self.num_ob_tokens  # appended obj-stop slot
+        self.policy_step_ref = build_ref_policy_step(
+            self.model, self.critic, mcfg, self.stop_slot)
+        self.episode_forward_ref = build_ref_episode_forward(
+            self.model, self.critic, mcfg, self.stop_slot)
+        self._ref_il_rl_update = jax.jit(self._ref_il_rl_update_fn)
+        self._ref_il_update = jax.jit(self._ref_il_update_fn)
+
+    # ------------------------------------------------------------ losses
+    def _ref_il_loss(self, params, cparams, ep, rng, weight):
+        out, obj_logits = self.episode_forward_ref(params, cparams, ep, rng,
+                                                   deterministic=False)
+        teacher = jnp.moveaxis(ep["teacher"], 0, 1)  # (T, B)
+        ref_teacher = jnp.moveaxis(ep["ref_teacher"], 0, 1)  # (T, B)
+        b = ep["actions"].shape[0]
+        loss_act = il_loss(out.logits, teacher, IGNORE_ID)
+        loss_ref = il_loss(obj_logits, ref_teacher, IGNORE_ID)
+        loss = (loss_act + loss_ref) * weight / b
+        return loss, {"IL_loss": loss}
+
+    def _ref_rl_loss(self, params, cparams, ep, rewards, masks,
+                     bootstrap_mask, rng):
+        from .losses import a2c_loss
+
+        out, _ = self.episode_forward_ref(params, cparams, ep, rng,
+                                          deterministic=False)
+        actions = jnp.moveaxis(ep["actions"], 0, 1)
+        tcfg = self.cfg.train
+        last_value = jnp.where(bootstrap_mask, out.last_value, 0.0)
+        loss, aux = a2c_loss(out.logits, actions, out.values, rewards, masks,
+                             last_value, gamma=tcfg.gamma,
+                             entropy_weight=tcfg.entropy_loss_weight,
+                             normalize=tcfg.normalize_loss)
+        aux["RL_loss"] = loss
+        return loss, aux
+
+    def _ref_il_update_fn(self, params, cparams, opt_state, copt_state, ep,
+                          rng, weight):
+        import optax
+
+        def loss_fn(p, c):
+            return self._ref_il_loss(p, c, ep, rng, weight)
+
+        (loss, aux), (gp, gc) = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                                   has_aux=True)(params, cparams)
+        updates, opt_state = self.tx.update(gp, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        cupdates, copt_state = self.ctx.update(gc, copt_state, cparams)
+        cparams = optax.apply_updates(cparams, cupdates)
+        return params, cparams, opt_state, copt_state, loss, aux
+
+    def _ref_il_rl_update_fn(self, params, cparams, opt_state, copt_state,
+                             il_ep, il_rng, il_weight, rl_ep, rewards, masks,
+                             bootstrap_mask, rl_rng):
+        import optax
+
+        def loss_fn(p, c):
+            l1, a1 = self._ref_il_loss(p, c, il_ep, il_rng, il_weight)
+            l2, a2 = self._ref_rl_loss(p, c, rl_ep, rewards, masks,
+                                       bootstrap_mask, rl_rng)
+            return l1 + l2, {**a1, **a2}
+
+        (loss, aux), (gp, gc) = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                                   has_aux=True)(params, cparams)
+        updates, opt_state = self.tx.update(gp, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        cupdates, copt_state = self.ctx.update(gc, copt_state, cparams)
+        cparams = optax.apply_updates(cparams, cupdates)
+        return params, cparams, opt_state, copt_state, loss, aux
+
+    # ------------------------------------------------------- data plumbing
+    def _ref_teacher_targets(self, obs: ObsBatch) -> Tuple[np.ndarray, np.ndarray]:
+        """(teacher action with appended stop, GT object index).
+
+        Parity: reverie/agent.py _teacher_action — stop maps to the
+        appended slot; ref target is the GT objId's index among the
+        viewpoint's candidate objects, IGNORE when absent.
+        """
+        b = obs.batch_size
+        teacher = obs.teacher.copy()
+        teacher = np.where(teacher == self.stop_slot, self.ref_stop, teacher)
+        ref = np.full((b,), IGNORE_ID, np.int32)
+        for i, item in enumerate(self.env.batch):
+            want = str(item["objId"])
+            for k, oid in enumerate(obs.obj_ids[i]):
+                if str(oid) == want:
+                    ref[i] = k
+                    break
+        return teacher.astype(np.int32), ref
+
+    def _stack_ref_episode(self, obs_list, txt_ids, txt_mask, actions,
+                           step_mask, teacher, ref_teacher, final_obs=None):
+        stack = lambda attr: np.stack([getattr(o, attr) for o in obs_list], axis=1)
+        d = {
+            "txt_ids": txt_ids, "txt_mask": txt_mask,
+            "ob_img": stack("ob_img"), "ob_ang": stack("ob_ang"),
+            "ob_nav": stack("ob_nav"), "ob_mask": stack("ob_mask"),
+            "obj_fts": stack("obj_fts"), "obj_angs": stack("obj_angs"),
+            "obj_pos": stack("obj_pos"), "obj_mask": stack("obj_mask"),
+            "hist_img": stack("hist_img"),
+            "hist_pano_img": stack("hist_pano_img"),
+            "hist_pano_ang": stack("hist_pano_ang"),
+            "actions": actions, "step_mask": step_mask,
+            "teacher": teacher, "ref_teacher": ref_teacher,
+        }
+        if final_obs is not None:
+            d.update(
+                final_ob_img=final_obs.ob_img, final_ob_ang=final_obs.ob_ang,
+                final_ob_nav=final_obs.ob_nav, final_ob_mask=final_obs.ob_mask,
+                final_obj_fts=final_obs.obj_fts, final_obj_angs=final_obs.obj_angs,
+                final_obj_pos=final_obs.obj_pos, final_obj_mask=final_obs.obj_mask,
+            )
+        return jax.tree.map(jnp.asarray, d)
+
+    # --------------------------------------------------------- rollout
+    def interactive_rollout(self, mode, base_rng, deterministic,
+                            record_for_replay=False, no_cand_backtrack=False):
+        env = self.env
+        stop = self.ref_stop
+        obs = env.reset()
+        b = obs.batch_size
+        t_max = env.max_action_len
+
+        txt_ids, txt_mask = env.txt_batch()
+        txt_ids, txt_mask = jnp.asarray(txt_ids), jnp.asarray(txt_mask)
+        txt_embeds = self.encode_text(
+            self.state.params, txt_ids, txt_mask,
+            jax.random.fold_in(base_rng, TXT_KEY_SALT), deterministic)
+        hist0 = self.init_history(
+            self.state.params, jax.random.fold_in(base_rng, HIST0_KEY_SALT),
+            batch_size=b, deterministic=deterministic)
+        hist_cache = jnp.zeros((b, t_max + 1, self.cfg.model.hidden_size),
+                               hist0.dtype).at[:, 0].set(hist0)
+        hist_len = jnp.ones((b,), jnp.int32)
+
+        graphs = [env.sim.graph(i) for i in range(b)]
+        traj = [{"instr_id": env.batch[i]["instr_id"],
+                 "path": [self._pose_tuple(env, i)]} for i in range(b)]
+        ep_state = self._episode_state_init(obs, graphs, traj)
+        ended = np.zeros((b,), bool)
+        visited = [set([int(obs.node[i])]) for i in range(b)]
+
+        obs_list: List[ObsBatch] = []
+        actions_rec = np.full((b, t_max), stop, np.int32)
+        teacher_rec = np.full((b, t_max), IGNORE_ID, np.int32)
+        ref_teacher_rec = np.full((b, t_max), IGNORE_ID, np.int32)
+        step_mask = np.zeros((b, t_max), bool)
+        rewards = np.zeros((t_max, b), np.float32)
+
+        for t in range(t_max):
+            obs_list.append(obs)
+            teacher_t, ref_t = self._ref_teacher_targets(obs)
+            forbid = np.zeros((b, self.num_ob_tokens + 1), bool)
+            if no_cand_backtrack:
+                for i in range(b):
+                    for c in range(self.stop_slot):
+                        cn = int(obs.cand_node[i, c])
+                        if cn >= 0 and cn in visited[i]:
+                            forbid[i, c] = True
+            live = ~ended
+            a_dev, logits, obj_logits, value, hist_cache, hist_len = (
+                self.policy_step_ref(
+                    self.state.params, self.state.cparams, txt_embeds,
+                    txt_mask, hist_cache, hist_len, t,
+                    jnp.asarray(obs.ob_img), jnp.asarray(obs.ob_ang),
+                    jnp.asarray(obs.ob_nav), jnp.asarray(obs.ob_mask),
+                    jnp.asarray(obs.obj_fts), jnp.asarray(obs.obj_angs),
+                    jnp.asarray(obs.obj_pos), jnp.asarray(obs.obj_mask),
+                    jnp.asarray(obs.hist_img), jnp.asarray(obs.hist_pano_img),
+                    jnp.asarray(obs.hist_pano_ang),
+                    jnp.asarray(live), jnp.asarray(forbid),
+                    jnp.asarray(teacher_t if mode == "teacher"
+                                else np.zeros(b, np.int32)),
+                    step_key(base_rng, t), mode=mode,
+                    deterministic=deterministic,
+                )
+            )
+            a_t = np.asarray(a_dev)
+            step_mask[:, t] = live
+            actions_rec[:, t] = np.where(live, a_t, stop)
+            teacher_rec[:, t] = np.where(live, teacher_t, IGNORE_ID)
+            ref_teacher_rec[:, t] = np.where(live, ref_t, IGNORE_ID)
+
+            # record predObjId at (forced) stop (agent.py:298-304)
+            obj_np = np.asarray(obj_logits)
+            for i in range(b):
+                stopping = live[i] and (a_t[i] >= self.num_ob_tokens
+                                        or t == t_max - 1)
+                if stopping and "predObjId" not in traj[i]:
+                    ids = obs.obj_ids[i]
+                    if not ids:
+                        traj[i]["predObjId"] = str(None)
+                    else:
+                        traj[i]["predObjId"] = str(ids[int(np.argmax(
+                            obj_np[i, : len(ids)]))])
+
+            env_actions = np.where(live & (a_t < self.stop_slot), a_t, -1)
+            obs = env.step(env_actions, obs)
+            for i in range(b):
+                if env_actions[i] >= 0:
+                    traj[i]["path"].append(self._pose_tuple(env, i))
+                    visited[i].add(int(obs.node[i]))
+                    if "ndtw" in ep_state:
+                        ep_state["ndtw"].update(i, int(obs.node[i]))
+
+            if record_for_replay:
+                a_eff = np.where(a_t >= self.num_ob_tokens, self.stop_slot, a_t)
+                rewards[t] = self._reward_with_stop(a_eff, live, obs, ep_state)
+
+            ended = ended | (a_t >= self.num_ob_tokens)
+            if ended.all():
+                break
+
+        extras: Dict[str, Any] = {}
+        if record_for_replay:
+            while len(obs_list) < t_max:
+                obs_list.append(obs_list[-1])
+            ep = self._stack_ref_episode(
+                obs_list, txt_ids, txt_mask, actions_rec, step_mask,
+                teacher_rec, ref_teacher_rec, final_obs=obs)
+            extras = {
+                "ep": ep,
+                "rewards": jnp.asarray(rewards),
+                "masks": jnp.asarray(step_mask.T.astype(np.float32)),
+                "bootstrap_mask": jnp.asarray(~ended),
+            }
+        return traj, extras
+
+    def _reward_with_stop(self, a_eff, live, obs, ep_state):
+        return super()._step_rewards(0, a_eff, live, None, obs, ep_state)
+
+    # ------------------------------------------------------------ train
+    def train_iteration(self, feedback: Optional[str] = None) -> Dict[str, float]:
+        feedback = feedback or self.cfg.train.feedback
+        st = self.state
+        tcfg = self.cfg.train
+        if feedback == "teacher":
+            ep = self._ref_teacher_episode()
+            rng = self._next_rng()
+            params, cparams, opt_state, copt_state, loss, aux = (
+                self._ref_il_update(st.params, st.cparams, st.opt_state,
+                                    st.copt_state, ep, rng, tcfg.teacher_weight))
+        elif feedback == "sample":
+            il_ep = self._ref_teacher_episode()
+            il_rng = self._next_rng()
+            rl_rng = self._next_rng()
+            _, extras = self.interactive_rollout("sample", rl_rng,
+                                                 deterministic=False,
+                                                 record_for_replay=True)
+            params, cparams, opt_state, copt_state, loss, aux = (
+                self._ref_il_rl_update(
+                    st.params, st.cparams, st.opt_state, st.copt_state,
+                    il_ep, il_rng, tcfg.ml_weight, extras["ep"],
+                    extras["rewards"], extras["masks"],
+                    extras["bootstrap_mask"], rl_rng))
+        else:
+            raise ValueError(feedback)
+        from .agent import TrainState
+
+        self.state = TrainState(params, cparams, opt_state, copt_state,
+                                st.step + 1)
+        out = {"loss": float(loss)}
+        for k, v in aux.items():
+            out[k] = float(np.asarray(v)) if np.ndim(v) == 0 else float(np.mean(v))
+        return out
+
+    def _ref_teacher_episode(self):
+        """Teacher-forced episode with object arrays and dual targets."""
+        env = self.env
+        obs = env.reset()
+        b = obs.batch_size
+        t_max = env.max_action_len
+        stop = self.ref_stop
+
+        obs_list: List[ObsBatch] = []
+        actions = np.full((b, t_max), stop, np.int32)
+        teacher = np.full((b, t_max), IGNORE_ID, np.int32)
+        ref_teacher = np.full((b, t_max), IGNORE_ID, np.int32)
+        step_mask = np.zeros((b, t_max), bool)
+        ended = np.zeros((b,), bool)
+
+        for t in range(t_max):
+            obs_list.append(obs)
+            teacher_t, ref_t = self._ref_teacher_targets(obs)
+            live = ~ended
+            step_mask[:, t] = live
+            teacher[:, t] = np.where(live, teacher_t, IGNORE_ID)
+            ref_teacher[:, t] = np.where(live, ref_t, IGNORE_ID)
+            actions[:, t] = np.where(live, teacher_t, stop)
+            env_actions = np.where(live & (teacher_t < self.stop_slot),
+                                   teacher_t, -1)
+            ended = ended | (teacher_t == stop)
+            if t + 1 < t_max:
+                obs = env.step(env_actions, obs)
+                if ended.all():
+                    break
+        while len(obs_list) < t_max:
+            obs_list.append(obs_list[-1])
+
+        txt_ids, txt_mask = env.txt_batch()
+        return self._stack_ref_episode(obs_list, txt_ids, txt_mask, actions,
+                                       step_mask, teacher, ref_teacher)

@@ -68,6 +68,13 @@ class ObsBatch:
     node: np.ndarray  # (B,) int32 current node
     view_index: np.ndarray  # (B,) int32
     dist_to_goal: np.ndarray  # (B,) float32
+    # task-variant extras (host-side), populated by subclass envs
+    dist_to_mid: Optional[np.ndarray] = None  # R2R-Back (B,)
+    obj_fts: Optional[np.ndarray] = None  # REVERIE (B, K, Do)
+    obj_angs: Optional[np.ndarray] = None  # (B, K, A)
+    obj_pos: Optional[np.ndarray] = None  # (B, K, 5)
+    obj_mask: Optional[np.ndarray] = None  # (B, K)
+    obj_ids: Optional[list] = None  # per-sample object id strings
 
     @property
     def batch_size(self) -> int:

@@ -53,7 +53,7 @@ class R2RNavEnv:
         self.data = list(instr_data)
         # ground truth over the FULL split, before rank sharding
         # (env.py:92-93): evaluation joins sharded predictions later.
-        self.gt_trajs = {x["instr_id"]: (x["scan"], x["path"]) for x in self.data}
+        self.gt_trajs = self._get_gt_trajs(self.data)
         if sel_data_idxs is not None:  # rank-sharded validation (env.py:96-104)
             t_split, n_splits = sel_data_idxs
             per = len(self.data) // n_splits
@@ -69,6 +69,11 @@ class R2RNavEnv:
         self._t = 0
 
     # ------------------------------------------------------------------
+    def _get_gt_trajs(self, data: List[dict]) -> Dict[str, tuple]:
+        """Overridable GT extraction (cvdn/env.py:28-29 overrides)."""
+        return {x["instr_id"]: (x["scan"], x["path"]) for x in data
+                if "path" in x}
+
     def size(self) -> int:
         return len(self.data)
 

@@ -1,0 +1,190 @@
+"""Torch-checkpoint conversion: reference NavCMT weights -> flax HAMT.
+
+The reference releases torch checkpoints (``README.md:36``) saved by
+``Seq2SeqCMTAgent.save`` (agent_cmt.py:607-622: top-level ``vln_bert`` /
+``critic`` entries with ``state_dict``) or the pretrain ``ModelSaver``.
+This module maps the reference's parameter names
+(``finetune_src/models/vilmodel_cmt.py`` modules) onto our flax tree so
+released weights reproduce reference outputs (see tests/test_parity.py,
+which checks forward parity against the actual torch reference model).
+
+Conventions: torch ``Linear.weight`` is (out, in) -> flax ``kernel``
+(in, out) transposed; ``LayerNorm.weight`` -> ``scale``; embeddings map
+1:1; the history cls token (1, 1, D) squeezes to (1, D).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _linear(tree, path, sd, torch_name):
+    _set(tree, path + ("kernel",), np.asarray(sd[torch_name + ".weight"]).T)
+    if torch_name + ".bias" in sd:
+        _set(tree, path + ("bias",), np.asarray(sd[torch_name + ".bias"]))
+
+
+def _layernorm(tree, path, sd, torch_name):
+    _set(tree, path + ("scale",), np.asarray(sd[torch_name + ".weight"]))
+    _set(tree, path + ("bias",), np.asarray(sd[torch_name + ".bias"]))
+
+
+def _embed(tree, path, sd, torch_name):
+    _set(tree, path + ("embedding",), np.asarray(sd[torch_name + ".weight"]))
+
+
+def _bert_layer(tree, prefix: Tuple[str, ...], sd, torch_prefix: str) -> None:
+    """BertLayer (vilmodel_cmt.py:188-201) -> TransformerLayer."""
+    for qkv in ("query", "key", "value"):
+        _linear(tree, prefix + ("attention", "att", qkv), sd,
+                f"{torch_prefix}.attention.self.{qkv}")
+    _linear(tree, prefix + ("attention", "output", "dense"), sd,
+            f"{torch_prefix}.attention.output.dense")
+    _layernorm(tree, prefix + ("attention", "output", "LayerNorm"), sd,
+               f"{torch_prefix}.attention.output.LayerNorm")
+    _linear(tree, prefix + ("ffn", "intermediate"), sd,
+            f"{torch_prefix}.intermediate.dense")
+    _linear(tree, prefix + ("ffn", "output"), sd,
+            f"{torch_prefix}.output.dense")
+    _layernorm(tree, prefix + ("ffn", "LayerNorm"), sd,
+               f"{torch_prefix}.output.LayerNorm")
+
+
+def _attention_block(tree, prefix: Tuple[str, ...], sd, torch_prefix: str,
+                     self_attn: bool) -> None:
+    """BertAttention (.self./.output.) or BertXAttention (.att./.output.)."""
+    inner = "self" if self_attn else "att"
+    for qkv in ("query", "key", "value"):
+        _linear(tree, prefix + ("att", qkv), sd,
+                f"{torch_prefix}.{inner}.{qkv}")
+    _linear(tree, prefix + ("output", "dense"), sd,
+            f"{torch_prefix}.output.dense")
+    _layernorm(tree, prefix + ("output", "LayerNorm"), sd,
+               f"{torch_prefix}.output.LayerNorm")
+
+
+def convert_navcmt_state_dict(
+    sd: Mapping[str, Any],
+    num_l_layers: int = 9,
+    num_h_layers: int = 0,
+    num_r_layers: int = 0,
+    num_x_layers: int = 4,
+    num_h_pano_layers: int = 2,
+    has_objects: bool = False,
+) -> Dict:
+    """Reference NavCMT state_dict -> flax HAMT params dict."""
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    p: Dict = {}
+
+    # text embeddings (vilmodel_cmt.py:39-68)
+    _embed(p, ("embeddings", "word_embeddings"), sd, "embeddings.word_embeddings")
+    _embed(p, ("embeddings", "position_embeddings"), sd,
+           "embeddings.position_embeddings")
+    _embed(p, ("embeddings", "token_type_embeddings"), sd,
+           "embeddings.token_type_embeddings")
+    _layernorm(p, ("embeddings", "LayerNorm"), sd, "embeddings.LayerNorm")
+
+    # language stack (LxmertEncoder.layer, :437-439)
+    for i in range(num_l_layers):
+        _bert_layer(p, ("lang_layers", f"layer_{i}"), sd, f"encoder.layer.{i}")
+    for i in range(num_h_layers):
+        _bert_layer(p, ("h_layers", f"layer_{i}"), sd, f"encoder.h_layers.{i}")
+    for i in range(num_r_layers):
+        _bert_layer(p, ("r_layers", f"layer_{i}"), sd, f"encoder.r_layers.{i}")
+
+    # cross-modal stack (:450-452; LXRTXLayer :361-424)
+    for i in range(num_x_layers):
+        base = f"encoder.x_layers.{i}"
+        pre = ("x_layer_" + str(i),)
+        _attention_block(p, pre + ("visual_attention",), sd,
+                         f"{base}.visual_attention", self_attn=False)
+        _attention_block(p, pre + ("lang_self_att",), sd,
+                         f"{base}.lang_self_att", self_attn=True)
+        _attention_block(p, pre + ("visn_self_att",), sd,
+                         f"{base}.visn_self_att", self_attn=True)
+        _linear(p, pre + ("lang_ffn", "intermediate"), sd, f"{base}.lang_inter.dense")
+        _linear(p, pre + ("lang_ffn", "output"), sd, f"{base}.lang_output.dense")
+        _layernorm(p, pre + ("lang_ffn", "LayerNorm"), sd,
+                   f"{base}.lang_output.LayerNorm")
+        _linear(p, pre + ("visn_ffn", "intermediate"), sd, f"{base}.visn_inter.dense")
+        _linear(p, pre + ("visn_ffn", "output"), sd, f"{base}.visn_output.dense")
+        _layernorm(p, pre + ("visn_ffn", "LayerNorm"), sd,
+                   f"{base}.visn_output.LayerNorm")
+
+    # observation embeddings (ImageEmbeddings :498-521)
+    _linear(p, ("ob_img_linear",), sd, "img_embeddings.img_linear")
+    _layernorm(p, ("ob_img_ln",), sd, "img_embeddings.img_layer_norm")
+    _linear(p, ("ob_ang_linear",), sd, "img_embeddings.ang_linear")
+    _layernorm(p, ("ob_ang_ln",), sd, "img_embeddings.ang_layer_norm")
+    _embed(p, ("ob_nav_type_embedding",), sd, "img_embeddings.nav_type_embedding")
+    _layernorm(p, ("ob_ln",), sd, "img_embeddings.layer_norm")
+
+    # history embeddings (HistoryEmbeddings :523-594)
+    p["hist_cls"] = np.asarray(sd["hist_embeddings.cls_token"]).reshape(1, -1)
+    _linear(p, ("hist_img_linear",), sd, "hist_embeddings.img_linear")
+    _layernorm(p, ("hist_img_ln",), sd, "hist_embeddings.img_layer_norm")
+    _linear(p, ("hist_ang_linear",), sd, "hist_embeddings.ang_linear")
+    _layernorm(p, ("hist_ang_ln",), sd, "hist_embeddings.ang_layer_norm")
+    _embed(p, ("hist_pos_embedding",), sd, "hist_embeddings.position_embeddings")
+    _embed(p, ("hist_type_embedding",), sd, "hist_embeddings.type_embedding")
+    _layernorm(p, ("hist_ln",), sd, "hist_embeddings.layer_norm")
+    if "hist_embeddings.pano_img_linear.weight" in sd:
+        _linear(p, ("hist_pano_img_linear",), sd, "hist_embeddings.pano_img_linear")
+        _layernorm(p, ("hist_pano_img_ln",), sd,
+                   "hist_embeddings.pano_img_layer_norm")
+        _linear(p, ("hist_pano_ang_linear",), sd, "hist_embeddings.pano_ang_linear")
+        _layernorm(p, ("hist_pano_ang_ln",), sd,
+                   "hist_embeddings.pano_ang_layer_norm")
+        for i in range(num_h_pano_layers):
+            _bert_layer(p, ("pano_encoder", f"layer_{i}"), sd,
+                        f"hist_embeddings.pano_encoder.layer.{i}")
+
+    # action head (NextActionPrediction :597-607: net.0 dense, net.2 LN,
+    # net.4 dense)
+    _linear(p, ("act_dense1",), sd, "next_action.net.0")
+    _layernorm(p, ("act_ln",), sd, "next_action.net.2")
+    _linear(p, ("act_dense2",), sd, "next_action.net.4")
+
+    if has_objects:
+        _linear(p, ("obj_img_linear",), sd, "obj_embeddings.img_linear")
+        _layernorm(p, ("obj_img_ln",), sd, "obj_embeddings.img_layer_norm")
+        _linear(p, ("obj_ang_linear",), sd, "obj_embeddings.ang_linear")
+        _layernorm(p, ("obj_ang_ln",), sd, "obj_embeddings.ang_layer_norm")
+        _linear(p, ("obj_pos_linear",), sd, "obj_embeddings.pos_linear")
+        _layernorm(p, ("obj_pos_ln",), sd, "obj_embeddings.pos_layer_norm")
+        _layernorm(p, ("obj_ln",), sd, "obj_embeddings.layer_norm")
+        _linear(p, ("ref_dense1",), sd, "ref_object.net.0")
+        _layernorm(p, ("ref_ln",), sd, "ref_object.net.2")
+        _linear(p, ("ref_dense2",), sd, "ref_object.net.4")
+
+    return p
+
+
+def convert_critic_state_dict(sd: Mapping[str, Any]) -> Dict:
+    """Critic (model_HAMT.py:258-269: state2value.0 / .3) -> flax."""
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    p: Dict = {}
+    _linear(p, ("Dense_0",), sd, "state2value.0")
+    _linear(p, ("Dense_1",), sd, "state2value.3")
+    return p
+
+
+def load_reference_checkpoint(path: str):
+    """Load an agent checkpoint file saved by the reference
+    (agent_cmt.py:607-622) and convert both models."""
+    import torch
+
+    states = torch.load(path, map_location="cpu")
+    vln_sd = {k: v.numpy() for k, v in states["vln_bert"]["state_dict"].items()}
+    critic_sd = {k: v.numpy() for k, v in states["critic"]["state_dict"].items()}
+    return convert_navcmt_state_dict(vln_sd), convert_critic_state_dict(critic_sd)

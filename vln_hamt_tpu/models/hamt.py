@@ -137,6 +137,19 @@ class HAMT(nn.Module):
         self.act_ln = ln()
         self.act_dense2 = nn.Dense(1, dtype=dtype, param_dtype=jnp.float32)
 
+        # REVERIE object grounding (reverie/vlnbert_navref.py:12-56)
+        if cfg.obj_feat_size > 0:
+            self.obj_img_linear = dense()
+            self.obj_img_ln = ln()
+            self.obj_ang_linear = dense()
+            self.obj_ang_ln = ln()
+            self.obj_pos_linear = dense()
+            self.obj_pos_ln = ln()
+            self.obj_ln = ln()
+            self.ref_dense1 = dense()
+            self.ref_ln = ln()
+            self.ref_dense2 = nn.Dense(1, dtype=dtype, param_dtype=jnp.float32)
+
         self.hidden_dropout = nn.Dropout(cfg.hidden_dropout_prob)
         self.feat_drop = nn.Dropout(cfg.feat_dropout)
         self.head_dropout = nn.Dropout(cfg.pred_head_dropout_prob)
@@ -380,15 +393,109 @@ class HAMT(nn.Module):
         return logits, state.astype(jnp.float32)
 
     # ------------------------------------------------------------------
+    def _embed_objects(self, obj_fts, obj_angs, obj_pos, deterministic):
+        """ObjectEmbeddings (reverie/vlnbert_navref.py:31-42): objects
+        carry token type 1 (visual) and nav type 2 (stop-like)."""
+        b, k = obj_fts.shape[:2]
+        obj_fts = self.feat_drop(obj_fts, deterministic=deterministic)
+        type_emb = self.embeddings.token_type(jnp.ones((b, k), jnp.int32))
+        nav_emb = self.ob_nav_type_embedding(jnp.full((b, k), 2, jnp.int32))
+        emb = (
+            self.obj_img_ln(self.obj_img_linear(obj_fts))
+            + self.obj_ang_ln(self.obj_ang_linear(obj_angs))
+            + self.obj_pos_ln(self.obj_pos_linear(obj_pos))
+            + nav_emb
+            + type_emb
+        )
+        emb = self.obj_ln(emb)
+        return self.hidden_dropout(emb, deterministic=deterministic)
+
+    def plan_ref(
+        self,
+        txt_embeds, txt_mask, hist_tokens, hist_mask,
+        ob_img, ob_ang, ob_nav, ob_mask,
+        obj_fts, obj_angs, obj_pos, obj_mask,
+        deterministic: bool = True,
+    ):
+        """REVERIE planning step (reverie/vlnbert_navref.py:90-158):
+        cross-modal over [hist; obs; objects]; action head over obs
+        tokens (ob * hist[CLS]), object head over object tokens
+        (obj * txt[CLS]).
+
+        Returns (act_logits (B, N), obj_logits (B, K), state (B, D)).
+        The caller appends the max object logit as the STOP action
+        (reverie/agent.py:251-254).
+        """
+        cfg = self.config
+        ext_hist = extend_mask(hist_mask, self._dtype)
+        ext_ob = extend_mask(ob_mask, self._dtype)
+        ext_obj = extend_mask(obj_mask, self._dtype)
+        ext_txt = extend_mask(txt_mask, self._dtype)
+
+        hist = hist_tokens
+        if self.h_layers is not None:
+            hist = self.h_layers(hist, ext_hist, deterministic=deterministic)
+        ob = self._embed_obs(ob_img, ob_ang, ob_nav, deterministic)
+        if self.r_layers is not None:
+            ob = self.r_layers(ob, ext_ob, deterministic=deterministic)
+        obj = self._embed_objects(obj_fts, obj_angs, obj_pos, deterministic)
+
+        h, n = hist.shape[1], ob.shape[1]
+        visn = jnp.concatenate([hist, ob, obj], axis=1)
+        visn_mask = jnp.concatenate([ext_hist, ext_ob, ext_obj], axis=-1)
+
+        lang = txt_embeds[0] if cfg.no_lang_ca else txt_embeds
+        for li, layer in enumerate(self.x_layers):
+            if cfg.no_lang_ca:
+                lang = txt_embeds[li]
+            lang, visn = layer(lang, ext_txt, visn, visn_mask,
+                               deterministic=deterministic)
+
+        hist_out = visn[:, :h]
+        ob_out = visn[:, h : h + n]
+        obj_out = visn[:, h + n :]
+
+        x = nn.relu(self.act_dense1(ob_out * hist_out[:, :1]))
+        x = self.act_ln(x)
+        x = self.head_dropout(x, deterministic=deterministic)
+        act_logits = self.act_dense2(x).squeeze(-1).astype(jnp.float32)
+        act_logits = jnp.where(ob_nav == 0, -jnp.inf, act_logits)
+
+        r = nn.relu(self.ref_dense1(obj_out * lang[:, :1]))
+        r = self.ref_ln(r)
+        r = self.head_dropout(r, deterministic=deterministic)
+        obj_logits = self.ref_dense2(r).squeeze(-1).astype(jnp.float32)
+        obj_logits = jnp.where(obj_mask, obj_logits, -jnp.inf)
+
+        if cfg.no_lang_ca:
+            state = hist_out[:, 0]
+        else:
+            state = lang[:, 0] * hist_out[:, 0]
+        return act_logits, obj_logits, state.astype(jnp.float32)
+
+    # ------------------------------------------------------------------
     def __call__(self, txt_ids, txt_mask, hist_tokens, hist_mask,
                  ob_img, ob_ang, ob_nav, ob_mask,
                  hist_img, hist_ang, pano_img, pano_ang,
                  deterministic: bool = True):
         """Init-only forward touching every submodule."""
+        cfg = self.config
         txt = self.encode_text(txt_ids, txt_mask, deterministic)
         _ = self.init_history(txt_ids.shape[0], deterministic)
         _ = self.encode_history(hist_img, hist_ang, 0, pano_img, pano_ang,
                                 deterministic)
+        if cfg.obj_feat_size > 0:
+            b = txt_ids.shape[0]
+            k = 2
+            _ = self.plan_ref(
+                txt, txt_mask, hist_tokens, hist_mask,
+                ob_img, ob_ang, ob_nav, ob_mask,
+                jnp.zeros((b, k, cfg.obj_feat_size)),
+                jnp.zeros((b, k, cfg.angle_feat_size)),
+                jnp.zeros((b, k, cfg.obj_loc_size)),
+                jnp.ones((b, k), bool),
+                deterministic,
+            )
         return self.plan(txt, txt_mask, hist_tokens, hist_mask,
                          ob_img, ob_ang, ob_nav, ob_mask, deterministic)
 

@@ -67,6 +67,28 @@ class MultiHeadAttention(nn.Module):
         k = dense("key")(context).reshape(*context.shape[:-1], h, hd)
         v = dense("value")(context).reshape(*context.shape[:-1], h, hd)
 
+        # Pallas fused path: VMEM-resident QK^T->mask->softmax->V in one
+        # kernel (ops/attention.py). Attention-prob dropout is identity
+        # in that regime, so only take it when dropout is off.
+        use_pallas = (
+            cfg.use_pallas_attention
+            and (deterministic or cfg.attention_probs_dropout_prob == 0.0)
+        )
+        if use_pallas:
+            from ..ops.attention import fused_attention
+
+            if attn_mask is None:
+                add_mask = jnp.zeros((hidden.shape[0], context.shape[1]),
+                                     jnp.float32)
+            else:
+                add_mask = attn_mask.reshape(attn_mask.shape[0], -1)
+            out = fused_attention(
+                jnp.moveaxis(q, -2, 1), jnp.moveaxis(k, -2, 1),
+                jnp.moveaxis(v, -2, 1), add_mask,
+            )
+            out = jnp.moveaxis(out, 1, -2).astype(self.dtype)
+            return out.reshape(*hidden.shape[:-1], h * hd)
+
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd).astype(self.dtype)
         if attn_mask is not None:
             scores = scores + attn_mask.astype(scores.dtype)

@@ -1,0 +1,279 @@
+"""Fine-tuning orchestration: dataset building, train loop, validation.
+
+Parity target: ``finetune_src/r2r/main.py`` (+ reverie/cvdn twins) —
+env construction per split with rank-sharded validation, the
+``log_every`` train/validate cadence, model selection by task metric
+(SPL+SR for R2R family, SPL+RGSPL for REVERIE, GP for CVDN;
+main.py:204-210, reverie/main_navref.py:197-203, cvdn/main.py:196-201),
+best/latest checkpointing, and submission-file dumps.
+
+Runs hermetically with ``--synthetic`` (fixture worlds) or against real
+Matterport data dirs when provided.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..agents import CVDNAgent, HAMTAgent, R2RBackAgent, ReverieAgent
+from ..configs import HAMTConfig, get_preset
+from ..data.fixtures import (
+    add_synthetic_objects,
+    make_synthetic_cvdn_items,
+    make_synthetic_r2rback_items,
+    make_synthetic_world,
+)
+from ..data.instructions import construct_instrs
+from ..data.nav_graph import load_nav_graphs
+from ..env import CVDNNavEnv, ObsSpec, R2RBackNavEnv, R2RNavEnv, ReverieNavEnv
+from ..parallel.mesh import host_allgather
+from ..utils.logging import MetricsLogger
+
+
+def selection_score(dataset: str, metrics: Dict[str, float]) -> float:
+    """Model-selection metric per task (main.py:204-210 & twins)."""
+    if dataset == "reverie":
+        return metrics.get("spl", 0.0) + metrics.get("rgspl", 0.0)
+    if dataset == "cvdn":
+        return metrics.get("gp", 0.0)
+    return metrics.get("spl", 0.0) + metrics.get("sr", 0.0)
+
+
+_ENV_CLS = {
+    "r2r": R2RNavEnv,
+    "r2r_last": R2RNavEnv,
+    "r4r": R2RNavEnv,
+    "rxr": R2RNavEnv,
+    "r2r_back": R2RBackNavEnv,
+    "reverie": ReverieNavEnv,
+    "cvdn": CVDNNavEnv,
+}
+
+_AGENT_CLS = {
+    "r2r": HAMTAgent,
+    "r2r_last": HAMTAgent,
+    "r4r": HAMTAgent,
+    "rxr": HAMTAgent,
+    "r2r_back": R2RBackAgent,
+    "reverie": ReverieAgent,
+    "cvdn": CVDNAgent,
+}
+
+
+def build_synthetic_dataset(cfg: HAMTConfig, seed: int = 0):
+    """Fixture-backed envs for hermetic runs (no Matterport data)."""
+    dataset = cfg.env.dataset
+    world = make_synthetic_world(
+        num_scans=2, nodes_per_scan=24, num_items=48,
+        feat_dim=cfg.env.image_feat_size, seed=seed,
+    )
+    max_deg = max(g.max_degree for g in world.graphs.values())
+    cfg = cfg.replace(env={"max_candidates": max_deg})
+    spec = ObsSpec(max_candidates=max_deg,
+                   image_feat_size=cfg.env.image_feat_size)
+
+    env_kwargs = {}
+    if dataset == "r2r_back":
+        items = make_synthetic_r2rback_items(world)
+    elif dataset == "cvdn":
+        items = make_synthetic_cvdn_items(world)
+        env_kwargs["use_player_path"] = cfg.env.use_player_path
+    elif dataset == "reverie":
+        obj_db, obj2vp = add_synthetic_objects(
+            world, obj_feat_size=cfg.model.obj_feat_size)
+        items = world.instr_data
+        env_kwargs.update(obj_db=obj_db, obj2viewpoint=obj2vp,
+                          max_objects=cfg.env.max_objects,
+                          obj_feat_size=cfg.model.obj_feat_size,
+                          multi_endpoints=cfg.env.multi_endpoints)
+    else:
+        items = world.instr_data
+
+    n_train = int(len(items) * 0.75)
+    env_cls = _ENV_CLS[dataset]
+
+    def make_env(data, name):
+        return env_cls(
+            world.graphs, world.feat_db, data, spec,
+            batch_size=cfg.train.batch_size,
+            max_instr_len=cfg.env.max_instr_len,
+            max_action_len=cfg.env.max_action_len,
+            seed=cfg.train.seed, name=name, **env_kwargs,
+        )
+
+    train_env = make_env(items[:n_train], "train")
+    val_envs = {"val_unseen": make_env(items[n_train:], "val_unseen")}
+    return cfg, train_env, val_envs
+
+
+def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
+    """Matterport-backed envs (main.py:26-83)."""
+    from ..data.feature_db import HDF5FeatureDB
+
+    dataset = cfg.env.dataset
+    feat_db = HDF5FeatureDB(args.img_ft_file, cfg.env.image_feat_size)
+    splits = {"train": ["train"], "val_seen": ["val_seen"],
+              "val_unseen": ["val_unseen"]}
+    if args.aug:
+        splits["train"] = ["train", args.aug]
+
+    instr = {
+        name: construct_instrs(args.anno_dir, dataset, sp,
+                               max_instr_len=cfg.env.max_instr_len)
+        for name, sp in splits.items()
+    }
+    scans = sorted({x["scan"] for items in instr.values() for x in items})
+    graphs = load_nav_graphs(args.connectivity_dir, scans)
+    max_deg = max(g.max_degree for g in graphs.values())
+    cfg = cfg.replace(env={"max_candidates": max_deg})
+    spec = ObsSpec(max_candidates=max_deg,
+                   image_feat_size=cfg.env.image_feat_size)
+    env_cls = _ENV_CLS[dataset]
+
+    import jax
+
+    n_proc, rank = jax.process_count(), jax.process_index()
+
+    def make_env(data, name, shard):
+        return env_cls(
+            graphs, feat_db, data, spec,
+            batch_size=cfg.train.batch_size,
+            max_instr_len=cfg.env.max_instr_len,
+            max_action_len=cfg.env.max_action_len,
+            seed=cfg.train.seed + (rank if name == "train" else 0),
+            name=name,
+            sel_data_idxs=(rank, n_proc) if (shard and n_proc > 1) else None,
+        )
+
+    train_env = make_env(instr["train"], "train", shard=False)
+    val_envs = {
+        name: make_env(instr[name], name, shard=True)
+        for name in ("val_seen", "val_unseen")
+    }
+    return cfg, train_env, val_envs
+
+
+def train(
+    cfg: HAMTConfig,
+    train_env,
+    val_envs: Dict[str, object],
+    output_dir: str,
+    iters: Optional[int] = None,
+    log_every: Optional[int] = None,
+) -> Dict[str, float]:
+    """The main train/validate loop (main.py:86-222)."""
+    os.makedirs(output_dir, exist_ok=True)
+    logger = MetricsLogger(output_dir)
+    dataset = cfg.env.dataset
+    agent = _AGENT_CLS[dataset](cfg, train_env, seed=cfg.train.seed)
+
+    iters = iters or cfg.train.iters
+    log_every = log_every or cfg.train.log_every
+    best = {"score": -np.inf, "iter": 0}
+
+    step = 0
+    while step < iters:
+        interval = min(log_every, iters - step)
+        losses = []
+        with logger.timer("train"):
+            for _ in range(interval):
+                out = agent.train_iteration()
+                losses.append(out["loss"])
+        step += interval
+        logger.log(step, {"loss": float(np.mean(losses)),
+                          **{k: float(np.mean(v[-interval:]))
+                             for k, v in agent.logs.items() if v}})
+
+        for name, env in val_envs.items():
+            with logger.timer(f"eval_{name}"):
+                preds = agent.eval_split(env)
+                merged = [p for shard in host_allgather(preds) for p in shard]
+                metrics, _ = env.eval_metrics(merged)
+            logger.log(step, metrics, prefix=f"{name}/")
+            if name == "val_unseen":
+                score = selection_score(dataset, metrics)
+                if score > best["score"]:
+                    best = {"score": score, "iter": step, **metrics}
+                    agent.save(os.path.join(output_dir, "best_val_unseen.pkl"))
+        agent.save(os.path.join(output_dir, "latest.pkl"))
+        logger.log_timers(step)
+    return best
+
+
+def valid(cfg: HAMTConfig, ckpt: str, val_envs: Dict[str, object],
+          output_dir: str, submit: bool = False) -> Dict[str, Dict[str, float]]:
+    """Stand-alone evaluation of a checkpoint (main.py:225-269)."""
+    dataset = cfg.env.dataset
+    agent = _AGENT_CLS[dataset](cfg, None, seed=cfg.train.seed)
+    agent.load(ckpt)
+    results = {}
+    for name, env in val_envs.items():
+        agent.env = env
+        preds = agent.eval_split(env)
+        merged = [p for shard in host_allgather(preds) for p in shard]
+        metrics, _ = env.eval_metrics(merged)
+        results[name] = metrics
+        if submit:
+            path = os.path.join(output_dir, f"submit_{name}.json")
+            with open(path, "w") as f:
+                json.dump(
+                    [{"instr_id": p["instr_id"],
+                      "trajectory": [[vp, h, e] for vp, h, e in p["trajectory"]]}
+                     for p in merged], f)
+    return results
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="HAMT-TPU fine-tuning")
+    p.add_argument("--task", default="r2r", choices=sorted(_ENV_CLS))
+    p.add_argument("--output_dir", default="runs/finetune")
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--log_every", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--feedback", default=None, choices=["teacher", "sample"])
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on hermetic fixture worlds")
+    p.add_argument("--anno_dir", default=None)
+    p.add_argument("--connectivity_dir", default=None)
+    p.add_argument("--img_ft_file", default=None)
+    p.add_argument("--aug", default=None)
+    p.add_argument("--resume_file", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = get_preset(args.task)
+    overrides = {}
+    for key in ("batch_size", "lr", "feedback"):
+        if getattr(args, key) is not None:
+            overrides[key] = getattr(args, key)
+    overrides["seed"] = args.seed
+    cfg = cfg.replace(train=overrides)
+    if args.bf16:
+        cfg = cfg.replace(model={"dtype": "bfloat16"})
+
+    if args.synthetic:
+        cfg, train_env, val_envs = build_synthetic_dataset(cfg, args.seed)
+    else:
+        assert args.anno_dir and args.connectivity_dir and args.img_ft_file, (
+            "real-data runs need --anno_dir --connectivity_dir --img_ft_file "
+            "(or pass --synthetic)"
+        )
+        cfg, train_env, val_envs = build_real_dataset(cfg, args)
+
+    best = train(cfg, train_env, val_envs, args.output_dir,
+                 iters=args.iters, log_every=args.log_every)
+    print(json.dumps({"best": best}, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Proxy-task pretraining orchestration.
+
+Parity target: ``pretrain_src/main_r2r.py`` — config + model build,
+mixed-task training with periodic per-task validation and checkpoints.
+Runs hermetically with ``--synthetic`` or against reference-format
+trajectory JSONL + HDF5 features.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+from ..configs import ModelConfig, get_preset
+from ..data.fixtures import make_synthetic_world
+from ..data.nav_graph import load_nav_graphs
+from ..pretrain import (
+    PretrainBatcher,
+    PretrainTrainer,
+    TrajectoryDataset,
+    make_synthetic_trajectories,
+)
+from ..pretrain.trajectory_data import load_trajectory_jsonl
+from ..utils.logging import MetricsLogger
+
+# pretrain_r2r.json task mix (config/pretrain_r2r.json:45-60)
+DEFAULT_TASKS = ("mlm", "mrc", "itm", "sap", "sar", "sprel")
+DEFAULT_MIX = (5, 1, 1, 1, 2, 2)
+
+
+def build_synthetic(args, mcfg: ModelConfig):
+    world = make_synthetic_world(
+        num_scans=2, nodes_per_scan=20, num_items=64,
+        feat_dim=mcfg.image_feat_size + mcfg.image_prob_size, seed=args.seed,
+    )
+    recs = make_synthetic_trajectories(world)
+    n_train = int(len(recs) * 0.85)
+    mk = lambda rs: TrajectoryDataset(
+        rs, world.graphs, world.feat_db,
+        image_feat_size=mcfg.image_feat_size,
+        image_prob_size=mcfg.image_prob_size,
+        max_txt_len=args.max_txt_len, max_hist_len=args.max_hist_len,
+    )
+    return mk(recs[:n_train]), mk(recs[n_train:])
+
+
+def build_real(args, mcfg: ModelConfig):
+    from ..data.feature_db import HDF5FeatureDB
+
+    feat_db = HDF5FeatureDB(args.img_ft_file,
+                            mcfg.image_feat_size + mcfg.image_prob_size)
+    recs = load_trajectory_jsonl(args.train_traj_files)
+    val_recs = load_trajectory_jsonl(args.val_traj_files)
+    scans = sorted({r.scan for r in recs + val_recs})
+    graphs = load_nav_graphs(args.connectivity_dir, scans)
+    mk = lambda rs: TrajectoryDataset(
+        rs, graphs, feat_db,
+        image_feat_size=mcfg.image_feat_size,
+        image_prob_size=mcfg.image_prob_size,
+        max_txt_len=args.max_txt_len, max_hist_len=args.max_hist_len,
+    )
+    return mk(recs), mk(val_recs)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="HAMT-TPU proxy-task pretraining")
+    p.add_argument("--output_dir", default="runs/pretrain")
+    p.add_argument("--num_steps", type=int, default=200_000)
+    p.add_argument("--warmup_steps", type=int, default=10_000)
+    p.add_argument("--valid_steps", type=int, default=5_000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=5e-5)
+    p.add_argument("--grad_accum", type=int, default=1)
+    p.add_argument("--max_txt_len", type=int, default=80)
+    p.add_argument("--max_hist_len", type=int, default=25)
+    p.add_argument("--tasks", nargs="+", default=list(DEFAULT_TASKS))
+    p.add_argument("--mix_ratio", nargs="+", type=float,
+                   default=list(DEFAULT_MIX))
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--train_traj_files", nargs="+", default=None)
+    p.add_argument("--val_traj_files", nargs="+", default=None)
+    p.add_argument("--img_ft_file", default=None)
+    p.add_argument("--connectivity_dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    mcfg = get_preset("r2r").model
+    if args.bf16:
+        import dataclasses
+
+        mcfg = dataclasses.replace(mcfg, dtype="bfloat16")
+
+    if args.synthetic:
+        train_ds, val_ds = build_synthetic(args, mcfg)
+    else:
+        assert args.train_traj_files and args.img_ft_file and args.connectivity_dir
+        train_ds, val_ds = build_real(args, mcfg)
+
+    batcher = PretrainBatcher(train_ds, seed=args.seed)
+    val_batcher = PretrainBatcher(val_ds, seed=args.seed + 1)
+    trainer = PretrainTrainer(
+        mcfg, batcher, tasks=args.tasks, mix_ratio=args.mix_ratio,
+        batch_size=args.batch_size, lr=args.lr,
+        warmup_steps=args.warmup_steps, total_steps=args.num_steps,
+        grad_accum=args.grad_accum, seed=args.seed,
+    )
+    logger = MetricsLogger(args.output_dir)
+
+    for step in range(args.num_steps):
+        task, loss, aux = trainer.train_step()
+        if (step + 1) % max(args.valid_steps // 10, 1) == 0:
+            logger.log(step + 1, {f"{task}/loss": loss, **{
+                f"{task}/{k}": v for k, v in aux.items()}})
+        if (step + 1) % args.valid_steps == 0 or step + 1 == args.num_steps:
+            val = trainer.validate(val_batcher)
+            flat = {f"val/{t}/{k}": v for t, stats in val.items()
+                    for k, v in stats.items()}
+            logger.log(step + 1, flat)
+            ckpt = os.path.join(args.output_dir, f"model_step_{step + 1}.pkl")
+            import flax.serialization as fser
+
+            with open(ckpt, "wb") as f:
+                pickle.dump(fser.to_state_dict(trainer.state.params), f)
+    print(json.dumps({"final_step": trainer.state.step}))
+
+
+if __name__ == "__main__":
+    main()
