@@ -31,12 +31,26 @@ def main() -> None:
     import jax
     import numpy as np
 
+    # persistent compile cache: the full-size train step costs ~10 min
+    # to compile through the remote TPU tunnel; cache it across runs
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from vln_hamt_tpu.agents.agent import HAMTAgent
     from vln_hamt_tpu.configs import get_preset
     from vln_hamt_tpu.data.fixtures import make_synthetic_world
     from vln_hamt_tpu.env import ObsSpec, R2RNavEnv
 
-    cfg = get_preset("r2r").replace(train={"batch_size": BATCH_SIZE})
+    # bf16 compute + per-step remat: the fp32 no-remat scan stores
+    # O(T * B * L * 4D) activations and OOMs a single 16GB chip
+    cfg = get_preset("r2r").replace(
+        train={"batch_size": BATCH_SIZE},
+        model={"dtype": "bfloat16", "remat": True},
+    )
 
     world = make_synthetic_world(
         num_scans=2, nodes_per_scan=36, num_items=2 * BATCH_SIZE,
@@ -57,9 +71,13 @@ def main() -> None:
         agent.train_iteration("teacher")
 
     t0 = time.perf_counter()
+    out = None
     for _ in range(MEASURE_STEPS):
-        out = agent.train_iteration("teacher")
+        # async: the device works on step k while the host assembles k+1
+        out = agent.train_iteration("teacher", sync=False)
+    final_loss = float(out["loss"])  # sync once at the end
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
     steps_per_sec = MEASURE_STEPS / dt
     eps_per_sec = steps_per_sec * BATCH_SIZE

@@ -1,7 +1,7 @@
 import numpy as np
 import pytest
 
-from vln_hamt_tpu.env.observation import ObsSpec, make_obs_slot, teacher_slot
+from vln_hamt_tpu.env.observation import ObsSpec, teacher_slot
 from vln_hamt_tpu.env.r2r_env import IGNORE_ID, R2RNavEnv
 from vln_hamt_tpu.env.sim import GraphSimulator, snap_heading_to_view
 
@@ -43,30 +43,54 @@ def test_sim_episode_and_move(world):
         sim.move(0, far, 0)
 
 
-def test_obs_slot_layout(world):
-    scan = world.scans[0]
-    g = world.graphs[scan]
-    spec = ObsSpec(max_candidates=14, image_feat_size=768)
-    ft = world.feat_db.get(scan, g.node_ids[0])
-    obs = make_obs_slot(spec, g, ft, node=0, view_index=12, goal=3)
-    deg = int((g.nbr_index[0] >= 0).sum())
-    c = spec.max_candidates
-    # candidate slots
-    assert (obs["ob_nav"][:deg] == 1).all()
-    assert (obs["ob_nav"][deg:c] == 0).all()
-    assert obs["ob_nav"][c] == 2  # STOP
-    assert obs["ob_mask"][c]
-    # candidate features = pano feature at the representative view
-    pid0 = int(g.nbr_point_id[0, 0])
-    np.testing.assert_array_equal(obs["ob_img"][0], ft[pid0])
-    # claimed views masked out of the pano region
-    claimed = set(g.nbr_point_id[0][g.nbr_index[0] >= 0].tolist())
-    for v in range(36):
-        assert obs["ob_mask"][c + 1 + v] == (v not in claimed)
-    # total attendable = deg + 1 + 36 - unique claimed
-    assert obs["ob_mask"].sum() == deg + 1 + 36 - len(claimed)
-    # history feature = current-view feature
-    np.testing.assert_array_equal(obs["hist_img"], ft[12])
+def test_obs_layout(world):
+    """The expanded fixed layout: candidates, STOP, masked panorama."""
+    env = make_env(world, batch_size=2)
+    obs = env.reset()
+    c = env.spec.max_candidates
+    for i in range(2):
+        g = env.sim.graph(i)
+        u = int(obs.node[i])
+        deg = int((g.nbr_index[u] >= 0).sum())
+        ft = env.feat_db.get(env.batch[i]["scan"], g.node_ids[u])
+        # candidate slots
+        assert (obs.ob_nav[i, :deg] == 1).all()
+        assert (obs.ob_nav[i, deg:c] == 0).all()
+        assert obs.ob_nav[i, c] == 2  # STOP
+        assert obs.ob_mask[i, c]
+        # candidate features = pano feature at the representative view
+        pid0 = int(g.nbr_point_id[u, 0])
+        np.testing.assert_array_equal(obs.ob_img[i, 0], ft[pid0])
+        # claimed views masked out of the pano region
+        claimed = set(g.nbr_point_id[u][g.nbr_index[u] >= 0].tolist())
+        for v in range(36):
+            assert obs.ob_mask[i, c + 1 + v] == (v not in claimed)
+        assert obs.ob_mask[i].sum() == deg + 1 + 36 - len(claimed)
+        # history feature = current-view feature
+        np.testing.assert_array_equal(obs.hist_img[i],
+                                      ft[int(obs.view_index[i])])
+
+
+def test_device_expansion_matches_numpy(world):
+    """expand_obs (jit) must equal expand_obs_np exactly."""
+    import jax.numpy as jnp
+
+    from vln_hamt_tpu.agents.rollout import make_expand_obs
+    from vln_hamt_tpu.env.observation import expand_obs_np
+
+    env = make_env(world, batch_size=3)
+    obs = env.reset()
+    full = expand_obs_np(env.spec, obs.pano_feat, obs.view_index,
+                         obs.cand_point, obs.cand_ang)
+    expand = make_expand_obs(36, env.spec.angle_feat_size)
+    dev = expand(jnp.asarray(obs.pano_feat), jnp.asarray(obs.view_index),
+                 jnp.asarray(obs.cand_point), jnp.asarray(obs.cand_ang))
+    np.testing.assert_allclose(np.asarray(dev["ob_img"]), full.ob_img, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dev["ob_ang"]), full.ob_ang, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dev["ob_nav"]), full.ob_nav)
+    np.testing.assert_array_equal(np.asarray(dev["ob_mask"]), full.ob_mask)
+    np.testing.assert_allclose(np.asarray(dev["hist_img"]), full.hist_img,
+                               atol=1e-6)
 
 
 def test_teacher_slot():
@@ -105,7 +129,8 @@ def test_teacher_episode_batch(world):
     env = make_env(world, batch_size=4, max_action_len=10)
     ep = env.teacher_episode()
     b, t = 4, 10
-    assert ep.ob_img.shape[:2] == (b, t)
+    assert ep.pano_feat.shape[:2] == (b, t)
+    assert ep.view_index.shape == (b, t)
     assert ep.actions.shape == (b, t)
     # every item's ground truth path fits: steps = len(path)-1 moves + 1 stop
     for i, item in enumerate(env.batch):

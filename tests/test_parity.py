@@ -221,6 +221,82 @@ def test_plan_parity_variants():
         _plan_parity(variant)
 
 
+def test_hf_bert_init_parity():
+    """BERT-init path: converted HF weights must reproduce the HF text
+    encoding through our lang stack (main_r2r.py:131-144 equivalent)."""
+    from transformers import BertConfig, BertModel
+
+    from vln_hamt_tpu.models.convert import convert_hf_bert_state_dict, merge_params
+    from vln_hamt_tpu.models.hamt import init_hamt_params
+
+    hf_cfg = BertConfig(
+        vocab_size=VOCAB, hidden_size=H, num_hidden_layers=L_LAYERS,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=32, type_vocab_size=2,
+        hidden_act="gelu", hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(2)
+    bert = BertModel(hf_cfg, add_pooling_layer=False)
+    bert.eval()
+
+    partial = convert_hf_bert_state_dict(
+        {k: v.detach().numpy() for k, v in bert.state_dict().items()},
+        num_l_layers=L_LAYERS,
+    )
+    cfg = _flax_cfg()
+    import jax as _jax
+
+    model, _, params, _ = init_hamt_params(cfg, _jax.random.PRNGKey(0),
+                                           num_ob_tokens=NOB, instr_len=L,
+                                           hist_len=HIST)
+    params = merge_params(params, partial)
+
+    inp = _inputs(5)
+    with torch.no_grad():
+        want = bert(torch.from_numpy(inp["txt_ids"]),
+                    attention_mask=torch.from_numpy(
+                        inp["txt_mask"].astype(np.int64))
+                    ).last_hidden_state.numpy()
+    got = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(inp["txt_ids"]),
+                                 jnp.asarray(inp["txt_mask"]),
+                                 method=HAMT.encode_text))
+    m = inp["txt_mask"]
+    np.testing.assert_allclose(got[m], want[m], atol=2e-4)
+
+
+def test_pretrain_to_finetune_grafting():
+    """Pretrained trunk + SAP head must slot into the finetune model."""
+    from vln_hamt_tpu.models.convert import pretrain_to_finetune_params
+    from vln_hamt_tpu.pretrain.model import init_pretrain_params
+
+    cfg = _flax_cfg()
+    import dataclasses
+    import jax as _jax
+
+    cfg = dataclasses.replace(cfg, image_prob_size=8)
+    _, pp = init_pretrain_params(cfg, _jax.random.PRNGKey(0), views=36,
+                                 max_hist_len=3, instr_len=L)
+    fp = pretrain_to_finetune_params(pp)
+    model = HAMT(cfg)
+    inp = _inputs(6)
+    hist = np.zeros((B, HIST, H), np.float32)
+    logits, state = model.apply(
+        {"params": fp},
+        model.apply({"params": fp}, jnp.asarray(inp["txt_ids"]),
+                    jnp.asarray(inp["txt_mask"]), method=HAMT.encode_text),
+        jnp.asarray(inp["txt_mask"]), jnp.asarray(hist),
+        jnp.ones((B, HIST), bool), jnp.asarray(inp["ob_img"]),
+        jnp.asarray(inp["ob_ang"]), jnp.asarray(inp["ob_nav"]),
+        jnp.ones((B, NOB), bool), method=HAMT.plan)
+    assert np.isfinite(np.asarray(logits)[np.isfinite(np.asarray(logits))]).all()
+    # the grafted action head comes from the pretrain SAP head
+    np.testing.assert_array_equal(
+        np.asarray(fp["act_dense1"]["kernel"]),
+        np.asarray(pp["next_action"]["dense1"]["kernel"]))
+
+
 def test_critic_parity():
     sys.path.insert(0, REF_PATH)
     try:

@@ -64,6 +64,31 @@ def make_optimizer(name: str, lr: float, weight_decay: float = 0.0,
     return opt
 
 
+def episode_to_device(ep, feat_dtype=jnp.float32,
+                      final_obs: Optional[ObsBatch] = None) -> Dict[str, jnp.ndarray]:
+    """Compact EpisodeBatch -> device arrays (features cast to the
+    compute dtype at the H2D boundary — half the transfer in bf16)."""
+    d = {
+        "txt_ids": ep.txt_ids,
+        "txt_mask": ep.txt_mask,
+        "pano_feat": jnp.asarray(ep.pano_feat, feat_dtype),
+        "view_index": ep.view_index,
+        "cand_point": ep.cand_point,
+        "cand_ang": ep.cand_ang,
+        "actions": ep.actions,
+        "step_mask": ep.step_mask,
+        "teacher": ep.teacher,
+    }
+    if final_obs is not None:
+        d.update(
+            final_pano_feat=jnp.asarray(final_obs.pano_feat, feat_dtype),
+            final_view_index=final_obs.view_index,
+            final_cand_point=final_obs.cand_point,
+            final_cand_ang=final_obs.cand_ang,
+        )
+    return jax.tree.map(jnp.asarray, d)
+
+
 @dataclasses.dataclass
 class TrainState:
     params: Any
@@ -113,30 +138,11 @@ class HAMTAgent:
         self._iter_rng, out = jax.random.split(self._iter_rng)
         return out
 
-    @staticmethod
-    def _ep_to_device(ep, final_obs: Optional[ObsBatch] = None) -> Dict[str, jnp.ndarray]:
-        d = {
-            "txt_ids": ep.txt_ids,
-            "txt_mask": ep.txt_mask,
-            "ob_img": ep.ob_img,
-            "ob_ang": ep.ob_ang,
-            "ob_nav": ep.ob_nav,
-            "ob_mask": ep.ob_mask,
-            "hist_img": ep.hist_img,
-            "hist_pano_img": ep.hist_pano_img,
-            "hist_pano_ang": ep.hist_pano_ang,
-            "actions": ep.actions,
-            "step_mask": ep.step_mask,
-            "teacher": ep.teacher,
-        }
-        if final_obs is not None:
-            d.update(
-                final_ob_img=final_obs.ob_img,
-                final_ob_ang=final_obs.ob_ang,
-                final_ob_nav=final_obs.ob_nav,
-                final_ob_mask=final_obs.ob_mask,
-            )
-        return jax.tree.map(jnp.asarray, d)
+    def _feat_dtype(self):
+        return jnp.bfloat16 if self.cfg.model.dtype == "bfloat16" else jnp.float32
+
+    def _ep_to_device(self, ep, final_obs: Optional[ObsBatch] = None):
+        return episode_to_device(ep, self._feat_dtype(), final_obs)
 
     # ---------------------------------------------------------- losses
     def _il_loss(self, params, cparams, ep, rng, weight):
@@ -258,9 +264,10 @@ class HAMTAgent:
         rewards = np.zeros((t_max, b), np.float32)
         logits_rec: List[np.ndarray] = []
 
+        fd = self._feat_dtype()
         for t in range(t_max):
             obs_list.append(obs)
-            forbid = np.zeros((b, obs.ob_nav.shape[1]), bool)
+            forbid = np.zeros((b, self.num_ob_tokens), bool)
             if no_cand_backtrack:
                 for i in range(b):
                     for c in range(stop):
@@ -271,10 +278,8 @@ class HAMTAgent:
             a_dev, logits, value, hist_cache, hist_len = self.policy_step(
                 self.state.params, self.state.cparams, txt_embeds, txt_mask,
                 hist_cache, hist_len, t,
-                jnp.asarray(obs.ob_img), jnp.asarray(obs.ob_ang),
-                jnp.asarray(obs.ob_nav), jnp.asarray(obs.ob_mask),
-                jnp.asarray(obs.hist_img), jnp.asarray(obs.hist_pano_img),
-                jnp.asarray(obs.hist_pano_ang),
+                jnp.asarray(obs.pano_feat, fd), jnp.asarray(obs.view_index),
+                jnp.asarray(obs.cand_point), jnp.asarray(obs.cand_ang),
                 jnp.asarray(live), jnp.asarray(forbid),
                 jnp.asarray(obs.teacher if mode == "teacher" else np.zeros(b, np.int32)),
                 step_key(base_rng, t),
@@ -382,33 +387,38 @@ class HAMTAgent:
 
     def _stack_obs_episode(self, obs_list, txt_ids, txt_mask, actions,
                            step_mask, final_obs=None) -> Dict[str, jnp.ndarray]:
+        fd = self._feat_dtype()
         stack = lambda attr: np.stack([getattr(o, attr) for o in obs_list], axis=1)
         d = {
             "txt_ids": txt_ids,
             "txt_mask": txt_mask,
-            "ob_img": stack("ob_img"),
-            "ob_ang": stack("ob_ang"),
-            "ob_nav": stack("ob_nav"),
-            "ob_mask": stack("ob_mask"),
-            "hist_img": stack("hist_img"),
-            "hist_pano_img": stack("hist_pano_img"),
-            "hist_pano_ang": stack("hist_pano_ang"),
+            "pano_feat": jnp.asarray(stack("pano_feat"), fd),
+            "view_index": stack("view_index"),
+            "cand_point": stack("cand_point"),
+            "cand_ang": stack("cand_ang"),
             "actions": actions,
             "step_mask": step_mask,
             "teacher": np.stack([o.teacher for o in obs_list], axis=1),
         }
         if final_obs is not None:
             d.update(
-                final_ob_img=final_obs.ob_img,
-                final_ob_ang=final_obs.ob_ang,
-                final_ob_nav=final_obs.ob_nav,
-                final_ob_mask=final_obs.ob_mask,
+                final_pano_feat=jnp.asarray(final_obs.pano_feat, fd),
+                final_view_index=final_obs.view_index,
+                final_cand_point=final_obs.cand_point,
+                final_cand_ang=final_obs.cand_ang,
             )
         return jax.tree.map(jnp.asarray, d)
 
     # ------------------------------------------------------------ train
-    def train_iteration(self, feedback: Optional[str] = None) -> Dict[str, float]:
-        """One optimizer step (agent_cmt.py:569-602)."""
+    def train_iteration(self, feedback: Optional[str] = None,
+                        sync: bool = True) -> Dict[str, Any]:
+        """One optimizer step (agent_cmt.py:569-602).
+
+        With ``sync=False`` the returned scalars are device arrays and
+        the host does NOT block on the step — jax's async dispatch then
+        overlaps the next episode's host assembly with device compute.
+        Convert (float()) only at logging boundaries.
+        """
         feedback = feedback or self.cfg.train.feedback
         st = self.state
         tcfg = self.cfg.train
@@ -436,6 +446,8 @@ class HAMTAgent:
 
         self.state = TrainState(params, cparams, opt_state, copt_state,
                                 st.step + 1)
+        if not sync:
+            return {"loss": loss, **aux}
         out = {"loss": float(loss)}
         for k, v in aux.items():
             val = float(jnp.asarray(v)) if jnp.ndim(v) == 0 else float(np.mean(v))

@@ -50,19 +50,25 @@ def _full_logits(act_logits: jnp.ndarray, obj_logits: jnp.ndarray,
 
 
 def build_ref_policy_step(model: HAMT, critic, cfg, stop_slot: int):
+    from .rollout import make_expand_obs
+
+    expand_obs = make_expand_obs(36, cfg.angle_feat_size)
+
     @partial(jax.jit, static_argnames=("mode", "deterministic"),
              donate_argnames=("hist_cache",))
     def policy_step(params, cparams, txt_embeds, txt_mask, hist_cache,
-                    hist_len, t, ob_img, ob_ang, ob_nav, ob_mask,
+                    hist_len, t, pano_feat, view_index, cand_point, cand_ang,
                     obj_fts, obj_angs, obj_pos, obj_mask,
-                    hist_img, pano_img, pano_ang, live, forbid, given_action,
+                    live, forbid, given_action,
                     rng, mode="argmax", deterministic=True):
         h_max = hist_cache.shape[1]
         k_plan, k_critic, k_hist, k_act = jax.random.split(rng, 4)
         apply = partial(model.apply, {"params": params})
+        ob = expand_obs(pano_feat, view_index, cand_point, cand_ang)
+        ob_ang = ob["ob_ang"]
         act_logits, obj_logits, state = apply(
             txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
-            ob_img, ob_ang, ob_nav, ob_mask,
+            ob["ob_img"], ob["ob_ang"], ob["ob_nav"], ob["ob_mask"],
             obj_fts, obj_angs, obj_pos, obj_mask, deterministic,
             method=HAMT.plan_ref, rngs={"dropout": k_plan},
         )
@@ -87,8 +93,9 @@ def build_ref_policy_step(model: HAMT, critic, cfg, stop_slot: int):
             ob_ang, gather_a[:, None, None], axis=1
         ).squeeze(1)
         new_tok = apply(
-            hist_img, act_ang, t, pano_img, pano_ang, deterministic,
-            method=HAMT.encode_history, rngs={"dropout": k_hist},
+            ob["hist_img"], act_ang, t, ob["pano_img"], ob["pano_ang"],
+            deterministic, method=HAMT.encode_history,
+            rngs={"dropout": k_hist},
         )
         hist_cache = jax.lax.dynamic_update_slice(
             hist_cache, new_tok[:, None, :].astype(hist_cache.dtype), (0, t + 1, 0)
@@ -100,6 +107,10 @@ def build_ref_policy_step(model: HAMT, critic, cfg, stop_slot: int):
 
 
 def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
+    from .rollout import make_expand_obs
+
+    expand_obs = make_expand_obs(36, cfg.angle_feat_size)
+
     def episode_forward(params, cparams, ep, rng, deterministic=False):
         txt_ids, txt_mask = ep["txt_ids"], ep["txt_mask"]
         b, t_steps = ep["actions"].shape
@@ -117,12 +128,10 @@ def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
 
         tm = lambda name: jnp.moveaxis(ep[name], 0, 1)
         xs = dict(
-            ob_img=tm("ob_img"), ob_ang=tm("ob_ang"), ob_nav=tm("ob_nav"),
-            ob_mask=tm("ob_mask"),
+            pano_feat=tm("pano_feat"), view_index=tm("view_index"),
+            cand_point=tm("cand_point"), cand_ang=tm("cand_ang"),
             obj_fts=tm("obj_fts"), obj_angs=tm("obj_angs"),
             obj_pos=tm("obj_pos"), obj_mask=tm("obj_mask"),
-            hist_img=tm("hist_img"), pano_img=tm("hist_pano_img"),
-            pano_ang=tm("hist_pano_ang"),
             action=tm("actions"), live=tm("step_mask"),
             t=jnp.arange(t_steps, dtype=jnp.int32),
             key=jax.vmap(lambda t: step_key(rng, t))(jnp.arange(t_steps)),
@@ -131,23 +140,25 @@ def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
         def body(carry, x):
             hist_cache, hist_len = carry
             k_plan, k_critic, k_hist, _ = jax.random.split(x["key"], 4)
+            ob = expand_obs(x["pano_feat"], x["view_index"],
+                            x["cand_point"], x["cand_ang"])
             act_logits, obj_logits, state = apply(
                 txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
-                x["ob_img"], x["ob_ang"], x["ob_nav"], x["ob_mask"],
+                ob["ob_img"], ob["ob_ang"], ob["ob_nav"], ob["ob_mask"],
                 x["obj_fts"], x["obj_angs"], x["obj_pos"], x["obj_mask"],
                 deterministic, method=HAMT.plan_ref, rngs={"dropout": k_plan},
             )
             logits = _full_logits(act_logits, obj_logits, stop_slot)
             value = critic.apply({"params": cparams}, state, deterministic,
                                  rngs={"dropout": k_critic})
-            n_ob = x["ob_ang"].shape[1]
+            n_ob = ob["ob_ang"].shape[1]
             gather_a = jnp.where(x["action"] >= n_ob, stop_slot, x["action"])
             act_ang = jnp.take_along_axis(
-                x["ob_ang"], gather_a[:, None, None], axis=1
+                ob["ob_ang"], gather_a[:, None, None], axis=1
             ).squeeze(1)
             new_tok = apply(
-                x["hist_img"], act_ang, x["t"], x["pano_img"], x["pano_ang"],
-                deterministic, method=HAMT.encode_history,
+                ob["hist_img"], act_ang, x["t"], ob["pano_img"],
+                ob["pano_ang"], deterministic, method=HAMT.encode_history,
                 rngs={"dropout": k_hist},
             )
             hist_cache = jax.lax.dynamic_update_slice(
@@ -157,17 +168,20 @@ def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
             hist_len = hist_len + x["live"].astype(jnp.int32)
             return (hist_cache, hist_len), (logits, obj_logits, state, value)
 
+        scan_body = jax.checkpoint(body) if cfg.remat else body
         (hist_cache, hist_len), (logits, obj_logits, states, values) = (
-            jax.lax.scan(body, (hist_cache, hist_len), xs)
+            jax.lax.scan(scan_body, (hist_cache, hist_len), xs)
         )
 
-        if "final_ob_img" in ep:
+        if "final_pano_feat" in ep:
             k_plan, k_critic = jax.random.split(
                 jax.random.fold_in(rng, FINAL_KEY_SALT))
+            ob = expand_obs(ep["final_pano_feat"], ep["final_view_index"],
+                            ep["final_cand_point"], ep["final_cand_ang"])
             _, _, last_state = apply(
                 txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
-                ep["final_ob_img"], ep["final_ob_ang"], ep["final_ob_nav"],
-                ep["final_ob_mask"], ep["final_obj_fts"], ep["final_obj_angs"],
+                ob["ob_img"], ob["ob_ang"], ob["ob_nav"], ob["ob_mask"],
+                ep["final_obj_fts"], ep["final_obj_angs"],
                 ep["final_obj_pos"], ep["final_obj_mask"], deterministic,
                 method=HAMT.plan_ref, rngs={"dropout": k_plan},
             )
@@ -283,23 +297,25 @@ class ReverieAgent(HAMTAgent):
 
     def _stack_ref_episode(self, obs_list, txt_ids, txt_mask, actions,
                            step_mask, teacher, ref_teacher, final_obs=None):
+        fd = self._feat_dtype()
         stack = lambda attr: np.stack([getattr(o, attr) for o in obs_list], axis=1)
         d = {
             "txt_ids": txt_ids, "txt_mask": txt_mask,
-            "ob_img": stack("ob_img"), "ob_ang": stack("ob_ang"),
-            "ob_nav": stack("ob_nav"), "ob_mask": stack("ob_mask"),
+            "pano_feat": jnp.asarray(stack("pano_feat"), fd),
+            "view_index": stack("view_index"),
+            "cand_point": stack("cand_point"),
+            "cand_ang": stack("cand_ang"),
             "obj_fts": stack("obj_fts"), "obj_angs": stack("obj_angs"),
             "obj_pos": stack("obj_pos"), "obj_mask": stack("obj_mask"),
-            "hist_img": stack("hist_img"),
-            "hist_pano_img": stack("hist_pano_img"),
-            "hist_pano_ang": stack("hist_pano_ang"),
             "actions": actions, "step_mask": step_mask,
             "teacher": teacher, "ref_teacher": ref_teacher,
         }
         if final_obs is not None:
             d.update(
-                final_ob_img=final_obs.ob_img, final_ob_ang=final_obs.ob_ang,
-                final_ob_nav=final_obs.ob_nav, final_ob_mask=final_obs.ob_mask,
+                final_pano_feat=jnp.asarray(final_obs.pano_feat, fd),
+                final_view_index=final_obs.view_index,
+                final_cand_point=final_obs.cand_point,
+                final_cand_ang=final_obs.cand_ang,
                 final_obj_fts=final_obs.obj_fts, final_obj_angs=final_obs.obj_angs,
                 final_obj_pos=final_obs.obj_pos, final_obj_mask=final_obs.obj_mask,
             )
@@ -351,16 +367,16 @@ class ReverieAgent(HAMTAgent):
                         if cn >= 0 and cn in visited[i]:
                             forbid[i, c] = True
             live = ~ended
+            fd = self._feat_dtype()
             a_dev, logits, obj_logits, value, hist_cache, hist_len = (
                 self.policy_step_ref(
                     self.state.params, self.state.cparams, txt_embeds,
                     txt_mask, hist_cache, hist_len, t,
-                    jnp.asarray(obs.ob_img), jnp.asarray(obs.ob_ang),
-                    jnp.asarray(obs.ob_nav), jnp.asarray(obs.ob_mask),
+                    jnp.asarray(obs.pano_feat, fd),
+                    jnp.asarray(obs.view_index),
+                    jnp.asarray(obs.cand_point), jnp.asarray(obs.cand_ang),
                     jnp.asarray(obs.obj_fts), jnp.asarray(obs.obj_angs),
                     jnp.asarray(obs.obj_pos), jnp.asarray(obs.obj_mask),
-                    jnp.asarray(obs.hist_img), jnp.asarray(obs.hist_pano_img),
-                    jnp.asarray(obs.hist_pano_ang),
                     jnp.asarray(live), jnp.asarray(forbid),
                     jnp.asarray(teacher_t if mode == "teacher"
                                 else np.zeros(b, np.int32)),
@@ -423,7 +439,8 @@ class ReverieAgent(HAMTAgent):
         return super()._step_rewards(0, a_eff, live, None, obs, ep_state)
 
     # ------------------------------------------------------------ train
-    def train_iteration(self, feedback: Optional[str] = None) -> Dict[str, float]:
+    def train_iteration(self, feedback: Optional[str] = None,
+                        sync: bool = True) -> Dict[str, Any]:
         feedback = feedback or self.cfg.train.feedback
         st = self.state
         tcfg = self.cfg.train
@@ -452,6 +469,8 @@ class ReverieAgent(HAMTAgent):
 
         self.state = TrainState(params, cparams, opt_state, copt_state,
                                 st.step + 1)
+        if not sync:
+            return {"loss": loss, **aux}
         out = {"loss": float(loss)}
         for k, v in aux.items():
             out[k] = float(np.asarray(v)) if np.ndim(v) == 0 else float(np.mean(v))

@@ -64,6 +64,58 @@ def _hist_mask(hist_len: jnp.ndarray, h: int) -> jnp.ndarray:
     return jnp.arange(h)[None, :] < hist_len[:, None]
 
 
+def make_expand_obs(views: int, angle_feat_size: int):
+    """Device-side expansion of compact observations.
+
+    Host ships only the (B, V, D) panorama feature matrix + candidate
+    index/angle tables (see env/observation.py); the full fixed layout
+    [candidates | STOP | panorama] is gathered on device — ~4x less H2D
+    payload and no host-side feature copying. Must match
+    ``expand_obs_np`` exactly (tested).
+    """
+    from ..data.angle import all_point_angle_feature
+
+    table = jnp.asarray(all_point_angle_feature(angle_feat_size))  # (36,36,A)
+
+    def expand_obs(pano_feat, view_index, cand_point, cand_ang):
+        lead = pano_feat.shape[:-2]
+        d = pano_feat.shape[-1]
+        a = cand_ang.shape[-1]
+        dtype = pano_feat.dtype
+
+        valid = cand_point >= 0
+        idx = jnp.where(valid, cand_point, 0)
+        cand_feats = jnp.take_along_axis(pano_feat, idx[..., None], axis=-2)
+        cand_feats = jnp.where(valid[..., None], cand_feats, 0)
+        stop_img = jnp.zeros(lead + (1, d), dtype)
+        ob_img = jnp.concatenate([cand_feats, stop_img, pano_feat], axis=-2)
+
+        pano_ang = table[view_index].astype(dtype)  # (..., V, A)
+        stop_ang = jnp.zeros(lead + (1, a), dtype)
+        ob_ang = jnp.concatenate(
+            [jnp.where(valid[..., None], cand_ang.astype(dtype), 0),
+             stop_ang, pano_ang], axis=-2)
+
+        nav_c = valid.astype(jnp.int32)
+        ob_nav = jnp.concatenate(
+            [nav_c, jnp.full(lead + (1,), 2, jnp.int32),
+             jnp.zeros(lead + (views,), jnp.int32)], axis=-1)
+
+        onehot = (idx[..., None] == jnp.arange(views)) & valid[..., None]
+        claimed = onehot.any(axis=-2)
+        ob_mask = jnp.concatenate(
+            [valid, jnp.ones(lead + (1,), bool), ~claimed], axis=-1)
+
+        hist_img = jnp.take_along_axis(
+            pano_feat, view_index[..., None, None], axis=-2).squeeze(-2)
+
+        return dict(ob_img=ob_img, ob_ang=ob_ang, ob_nav=ob_nav,
+                    ob_mask=ob_mask, hist_img=hist_img,
+                    pano_img=pano_feat, pano_ang=pano_ang)
+
+    return expand_obs
+
+
 def build_episode_forward(
     model: HAMT, critic: Critic, cfg: ModelConfig
 ) -> Callable[..., EpisodeOutputs]:
@@ -80,6 +132,8 @@ def build_episode_forward(
       final_ob_* (B, N, ...) optional — obs after the last action for the
       RL bootstrap value; when absent, last_value = 0.
     """
+
+    expand_obs = make_expand_obs(36, cfg.angle_feat_size)
 
     def episode_forward(params, cparams, ep: Dict[str, jnp.ndarray], rng,
                         deterministic: bool = False) -> EpisodeOutputs:
@@ -102,12 +156,11 @@ def build_episode_forward(
         hist_cache = hist_cache.at[:, 0].set(hist0)
         hist_len = jnp.ones((b,), jnp.int32)
 
-        # time-major leaves for scan
+        # time-major leaves for scan (compact obs; expansion in-body)
         tm = lambda name: jnp.moveaxis(ep[name], 0, 1)
         xs = dict(
-            ob_img=tm("ob_img"), ob_ang=tm("ob_ang"), ob_nav=tm("ob_nav"),
-            ob_mask=tm("ob_mask"), hist_img=tm("hist_img"),
-            pano_img=tm("hist_pano_img"), pano_ang=tm("hist_pano_ang"),
+            pano_feat=tm("pano_feat"), view_index=tm("view_index"),
+            cand_point=tm("cand_point"), cand_ang=tm("cand_ang"),
             action=tm("actions"), live=tm("step_mask"),
             t=jnp.arange(t_steps, dtype=jnp.int32),
             key=jax.vmap(lambda t: step_key(rng, t))(jnp.arange(t_steps)),
@@ -116,9 +169,11 @@ def build_episode_forward(
         def body(carry, x):
             hist_cache, hist_len = carry
             k_plan, k_critic, k_hist, _ = jax.random.split(x["key"], 4)
+            ob = expand_obs(x["pano_feat"], x["view_index"],
+                            x["cand_point"], x["cand_ang"])
             logits, state = apply(
                 txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
-                x["ob_img"], x["ob_ang"], x["ob_nav"], x["ob_mask"],
+                ob["ob_img"], ob["ob_ang"], ob["ob_nav"], ob["ob_mask"],
                 deterministic, method=HAMT.plan, rngs={"dropout": k_plan},
             )
             value = critic.apply({"params": cparams}, state, deterministic,
@@ -126,11 +181,11 @@ def build_episode_forward(
             # chosen action's angle feature = its ob slot's angle feature
             # (zeros at the STOP slot), parity agent_cmt.py:382-386
             act_ang = jnp.take_along_axis(
-                x["ob_ang"], x["action"][:, None, None], axis=1
+                ob["ob_ang"], x["action"][:, None, None], axis=1
             ).squeeze(1)
             new_tok = apply(
-                x["hist_img"], act_ang, x["t"], x["pano_img"], x["pano_ang"],
-                deterministic, method=HAMT.encode_history,
+                ob["hist_img"], act_ang, x["t"], ob["pano_img"],
+                ob["pano_ang"], deterministic, method=HAMT.encode_history,
                 rngs={"dropout": k_hist},
             )
             hist_cache = jax.lax.dynamic_update_slice(
@@ -140,19 +195,21 @@ def build_episode_forward(
             hist_len = hist_len + x["live"].astype(jnp.int32)
             return (hist_cache, hist_len), (logits, state, value)
 
+        scan_body = jax.checkpoint(body) if cfg.remat else body
         (hist_cache, hist_len), (logits, states, values) = jax.lax.scan(
-            body, (hist_cache, hist_len), xs
+            scan_body, (hist_cache, hist_len), xs
         )
 
-        if "final_ob_img" in ep:
+        if "final_pano_feat" in ep:
             k_plan, k_critic = jax.random.split(
                 jax.random.fold_in(rng, FINAL_KEY_SALT)
             )
+            ob = expand_obs(ep["final_pano_feat"], ep["final_view_index"],
+                            ep["final_cand_point"], ep["final_cand_ang"])
             _, last_state = apply(
                 txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
-                ep["final_ob_img"], ep["final_ob_ang"], ep["final_ob_nav"],
-                ep["final_ob_mask"], deterministic,
-                method=HAMT.plan, rngs={"dropout": k_plan},
+                ob["ob_img"], ob["ob_ang"], ob["ob_nav"], ob["ob_mask"],
+                deterministic, method=HAMT.plan, rngs={"dropout": k_plan},
             )
             last_value = critic.apply({"params": cparams}, last_state,
                                       deterministic, rngs={"dropout": k_critic})
@@ -181,6 +238,8 @@ def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig):
     no_cand_backtrack (agent_cmt.py:342-350).
     """
 
+    expand_obs = make_expand_obs(36, cfg.angle_feat_size)
+
     @partial(
         jax.jit,
         static_argnames=("mode", "deterministic"),
@@ -188,17 +247,18 @@ def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig):
     )
     def policy_step(
         params, cparams, txt_embeds, txt_mask, hist_cache, hist_len, t,
-        ob_img, ob_ang, ob_nav, ob_mask, hist_img, pano_img, pano_ang,
+        pano_feat, view_index, cand_point, cand_ang,
         live, forbid, given_action, rng,
         mode: str = "argmax", deterministic: bool = True,
     ):
         h_max = hist_cache.shape[1]
         k_plan, k_critic, k_hist, k_act = jax.random.split(rng, 4)
         apply = partial(model.apply, {"params": params})
+        ob = expand_obs(pano_feat, view_index, cand_point, cand_ang)
         logits, state = apply(
             txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
-            ob_img, ob_ang, ob_nav, ob_mask, deterministic,
-            method=HAMT.plan, rngs={"dropout": k_plan},
+            ob["ob_img"], ob["ob_ang"], ob["ob_nav"], ob["ob_mask"],
+            deterministic, method=HAMT.plan, rngs={"dropout": k_plan},
         )
         masked_logits = jnp.where(forbid, -jnp.inf, logits)
         if mode == "sample":
@@ -215,11 +275,11 @@ def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig):
                              rngs={"dropout": k_critic})
 
         act_ang = jnp.take_along_axis(
-            ob_ang, action[:, None, None], axis=1
+            ob["ob_ang"], action[:, None, None], axis=1
         ).squeeze(1)
         new_tok = apply(
-            hist_img, act_ang, t, pano_img, pano_ang, deterministic,
-            method=HAMT.encode_history, rngs={"dropout": k_hist},
+            ob["hist_img"], act_ang, t, ob["pano_img"], ob["pano_ang"],
+            deterministic, method=HAMT.encode_history, rngs={"dropout": k_hist},
         )
         hist_cache = jax.lax.dynamic_update_slice(
             hist_cache, new_tok[:, None, :].astype(hist_cache.dtype), (0, t + 1, 0)

@@ -73,6 +73,8 @@ class ModelConfig:
     # TPU execution
     dtype: str = "float32"  # compute dtype: float32 | bfloat16
     use_pallas_attention: bool = False
+    remat: bool = False  # jax.checkpoint each episode-scan step
+    # (trades ~1 extra forward for O(T) -> O(1) stored activations)
 
     @property
     def head_dim(self) -> int:

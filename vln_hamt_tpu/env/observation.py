@@ -1,24 +1,36 @@
-"""Fixed-shape observation batches.
+"""Fixed-shape observations, compact on host / expanded on device.
 
-The TPU-critical redesign of the reference's per-batch variable padding
-(``agent_cmt.py:104-151`` pads candidates to the *batch max* each step,
-which would retrigger XLA compilation). Here every observation has one
-static layout:
+The TPU-critical redesign of the reference's per-step observation
+tensorization (``agent_cmt.py:104-151``), in two parts:
+
+**Static layout.** Every observation has one shape:
 
     slot 0 .. C-1 : candidate slots (padded, masked)       nav_type 1
     slot C        : STOP                                   nav_type 2
     slot C+1 .. C+36 : the full 36-view panorama context   nav_type 0
 
 Views already represented by a candidate are masked out of the panorama
-region, matching the reference's ``feature[~cand_pointids]`` exclusion.
-The STOP action is always slot C — constant across the batch, unlike the
-reference's per-sample ``len(candidate)`` index — so action semantics
-are uniform tensors.
+region (the reference's ``feature[~cand_pointids]`` exclusion); STOP is
+a constant slot, so action semantics are uniform tensors. Ordering
+differs from the reference but obs tokens carry no positional
+embedding, so attention is permutation-invariant to it.
 
-Candidate geometry is closed-form from the NavGraph tables; features are
-gathered from the panorama feature matrix at each candidate's
-representative view (``pointId``), with angle features relative to the
-agent's current base heading (parity: ``env.py:182-252``).
+**Compact transport.** Candidate features are rows of the panorama
+feature matrix, and the reference's host code (and our first
+implementation) materialized them twice and shipped O(B*T*N*D) float32
+to the device — measured at ~6 s of host assembly + 127 MB H2D per
+batch-32 iteration, with the actual TPU step orders of magnitude
+cheaper. An :class:`ObsBatch` therefore stores only:
+
+    pano_feat (B, 36, D)   the feature matrix (it IS hist_pano_img)
+    view_index (B,)        current discretized view
+    cand_point (B, C)      each candidate's representative view (-1 pad)
+    cand_ang (B, C, A)     candidate angle features (tiny)
+
+and the full layout (ob_img / ob_ang / nav types / masks / history
+features) is gathered INSIDE the jitted step
+(:func:`vln_hamt_tpu.agents.rollout.expand_obs`). Host-side numpy
+expansion (:meth:`ObsBatch.full`) exists for tests and host consumers.
 """
 
 from __future__ import annotations
@@ -31,6 +43,8 @@ import numpy as np
 from ..data.angle import all_point_angle_feature, angle_features, view_heading
 from ..data.nav_graph import NavGraph
 from .sim import GraphSimulator
+
+IGNORE_ID = -100
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,62 +63,6 @@ class ObsSpec:
         return self.max_candidates
 
 
-@dataclasses.dataclass
-class ObsBatch:
-    """One step's observations for the whole batch (numpy, device-ready)."""
-
-    # model inputs
-    ob_img: np.ndarray  # (B, N, D) float32
-    ob_ang: np.ndarray  # (B, N, A) float32
-    ob_nav: np.ndarray  # (B, N) int32 {0 context, 1 candidate, 2 stop}
-    ob_mask: np.ndarray  # (B, N) bool attendable tokens
-    hist_img: np.ndarray  # (B, D) current-view feature
-    hist_pano_img: np.ndarray  # (B, V, D)
-    hist_pano_ang: np.ndarray  # (B, V, A)
-    # host bookkeeping
-    cand_node: np.ndarray  # (B, C) int32, -1 pad
-    cand_view: np.ndarray  # (B, C) int32 representative view ids
-    teacher: np.ndarray  # (B,) int32 action slot (stop_slot for STOP)
-    node: np.ndarray  # (B,) int32 current node
-    view_index: np.ndarray  # (B,) int32
-    dist_to_goal: np.ndarray  # (B,) float32
-    # task-variant extras (host-side), populated by subclass envs
-    dist_to_mid: Optional[np.ndarray] = None  # R2R-Back (B,)
-    obj_fts: Optional[np.ndarray] = None  # REVERIE (B, K, Do)
-    obj_angs: Optional[np.ndarray] = None  # (B, K, A)
-    obj_pos: Optional[np.ndarray] = None  # (B, K, 5)
-    obj_mask: Optional[np.ndarray] = None  # (B, K)
-    obj_ids: Optional[list] = None  # per-sample object id strings
-
-    @property
-    def batch_size(self) -> int:
-        return self.ob_img.shape[0]
-
-
-@dataclasses.dataclass
-class EpisodeBatch:
-    """A full teacher-forced (or replayed) episode, time-stacked.
-
-    This is what enables training as ONE jitted `lax.scan` over time
-    instead of the reference's per-step Python/GPU interleaving
-    (SURVEY §3.1): under teacher forcing the trajectory is the ground
-    truth path, so all observations are known upfront.
-    """
-
-    txt_ids: np.ndarray  # (B, L) int32
-    txt_mask: np.ndarray  # (B, L) bool
-    ob_img: np.ndarray  # (B, T, N, D)
-    ob_ang: np.ndarray  # (B, T, N, A)
-    ob_nav: np.ndarray  # (B, T, N)
-    ob_mask: np.ndarray  # (B, T, N)
-    hist_img: np.ndarray  # (B, T, D)
-    hist_pano_img: np.ndarray  # (B, T, V, D)
-    hist_pano_ang: np.ndarray  # (B, T, V, A)
-    actions: np.ndarray  # (B, T) int32 action slots taken (teacher for IL)
-    step_mask: np.ndarray  # (B, T) bool valid (pre-stop) steps
-    teacher: np.ndarray  # (B, T) int32 supervision (ignore_id when invalid)
-
-
 _ANGLE_TABLE_CACHE: Dict[int, np.ndarray] = {}
 
 
@@ -116,76 +74,158 @@ def _angle_table(angle_feat_size: int) -> np.ndarray:
     return tab
 
 
-def make_obs_slot(
+@dataclasses.dataclass
+class FullObs:
+    """Host-expanded observation arrays (the device layout, in numpy)."""
+
+    ob_img: np.ndarray  # (B, N, D)
+    ob_ang: np.ndarray  # (B, N, A)
+    ob_nav: np.ndarray  # (B, N) int32
+    ob_mask: np.ndarray  # (B, N) bool
+    hist_img: np.ndarray  # (B, D)
+    hist_pano_img: np.ndarray  # (B, V, D)
+    hist_pano_ang: np.ndarray  # (B, V, A)
+
+
+@dataclasses.dataclass
+class ObsBatch:
+    """One step's observations (compact form; see module docstring)."""
+
+    spec: ObsSpec
+    pano_feat: np.ndarray  # (B, V, D) float32
+    view_index: np.ndarray  # (B,) int32
+    cand_node: np.ndarray  # (B, C) int32, -1 pad
+    cand_point: np.ndarray  # (B, C) int32 representative views, -1 pad
+    cand_ang: np.ndarray  # (B, C, A) float32
+    teacher: np.ndarray  # (B,) int32 action slot (stop_slot / IGNORE_ID)
+    node: np.ndarray  # (B,) int32
+    dist_to_goal: np.ndarray  # (B,) float32
+    # task-variant extras (host-side), populated by subclass envs
+    dist_to_mid: Optional[np.ndarray] = None  # R2R-Back (B,)
+    obj_fts: Optional[np.ndarray] = None  # REVERIE (B, K, Do)
+    obj_angs: Optional[np.ndarray] = None  # (B, K, A)
+    obj_pos: Optional[np.ndarray] = None  # (B, K, 5)
+    obj_mask: Optional[np.ndarray] = None  # (B, K)
+    obj_ids: Optional[list] = None  # per-sample object id strings
+    _full: Optional[FullObs] = dataclasses.field(default=None, repr=False)
+
+    @property
+    def batch_size(self) -> int:
+        return self.pano_feat.shape[0]
+
+    # compatibility alias for MatterSim naming
+    @property
+    def cand_view(self) -> np.ndarray:
+        return self.cand_point
+
+    # ----------------------------------------------------- lazy expand
+    def full(self) -> FullObs:
+        if self._full is None:
+            self._full = expand_obs_np(self.spec, self.pano_feat,
+                                       self.view_index, self.cand_point,
+                                       self.cand_ang)
+        return self._full
+
+    @property
+    def ob_img(self) -> np.ndarray:
+        return self.full().ob_img
+
+    @property
+    def ob_ang(self) -> np.ndarray:
+        return self.full().ob_ang
+
+    @property
+    def ob_nav(self) -> np.ndarray:
+        return self.full().ob_nav
+
+    @property
+    def ob_mask(self) -> np.ndarray:
+        return self.full().ob_mask
+
+    @property
+    def hist_img(self) -> np.ndarray:
+        return self.full().hist_img
+
+    @property
+    def hist_pano_img(self) -> np.ndarray:
+        return self.full().hist_pano_img
+
+    @property
+    def hist_pano_ang(self) -> np.ndarray:
+        return self.full().hist_pano_ang
+
+
+@dataclasses.dataclass
+class EpisodeBatch:
+    """A full episode, time-stacked in compact form.
+
+    This is what enables training as ONE jitted `lax.scan` over time:
+    under teacher forcing the trajectory is the ground-truth path, so
+    all observations are known upfront. Feature payload is O(B*T*V*D)
+    once (the pano matrices), not O(B*T*N*D) twice.
+    """
+
+    txt_ids: np.ndarray  # (B, L) int32
+    txt_mask: np.ndarray  # (B, L) bool
+    pano_feat: np.ndarray  # (B, T, V, D)
+    view_index: np.ndarray  # (B, T)
+    cand_point: np.ndarray  # (B, T, C)
+    cand_ang: np.ndarray  # (B, T, C, A)
+    actions: np.ndarray  # (B, T) int32 action slots taken
+    step_mask: np.ndarray  # (B, T) bool valid (pre-stop) steps
+    teacher: np.ndarray  # (B, T) int32 supervision (IGNORE_ID invalid)
+
+
+def expand_obs_np(
     spec: ObsSpec,
-    graph: NavGraph,
-    features: np.ndarray,  # (36, D)
-    node: int,
-    view_index: int,
-    goal: Optional[int] = None,
-) -> Dict[str, np.ndarray]:
-    """Assemble one sample's fixed-shape observation arrays."""
+    pano_feat: np.ndarray,  # (..., V, D)
+    view_index: np.ndarray,  # (...,)
+    cand_point: np.ndarray,  # (..., C)
+    cand_ang: np.ndarray,  # (..., C, A)
+) -> FullObs:
+    """Numpy twin of the on-device expansion (tests / host consumers)."""
     c = spec.max_candidates
-    n = spec.num_ob_tokens
+    v = spec.views
+    lead = pano_feat.shape[:-2]
     d, a = spec.image_feat_size, spec.angle_feat_size
 
-    ob_img = np.zeros((n, d), dtype=np.float32)
-    ob_ang = np.zeros((n, a), dtype=np.float32)
-    ob_nav = np.zeros((n,), dtype=np.int32)
-    ob_mask = np.zeros((n,), dtype=bool)
-    cand_node = np.full((c,), -1, dtype=np.int32)
-    cand_view = np.full((c,), -1, dtype=np.int32)
+    valid = cand_point >= 0
+    idx = np.where(valid, cand_point, 0)
+    cand_feats = np.take_along_axis(pano_feat, idx[..., None], axis=-2)
+    cand_feats = np.where(valid[..., None], cand_feats, 0.0)
 
-    nbrs = graph.nbr_index[node]
-    valid = nbrs >= 0
-    deg = int(valid.sum())
-    if deg > c:
-        raise ValueError(
-            f"scan {graph.scan} node {node} has degree {deg} > max_candidates {c}"
-        )
-    base_heading = float(view_heading(view_index))
+    stop_img = np.zeros(lead + (1, d), np.float32)
+    ob_img = np.concatenate([cand_feats, stop_img, pano_feat], axis=-2)
 
-    point_ids = graph.nbr_point_id[node][valid]
-    cand_node[:deg] = nbrs[valid]
-    cand_view[:deg] = point_ids
-    ob_img[:deg] = features[point_ids]
-    ob_ang[:deg] = angle_features(
-        graph.nbr_heading[node][valid] - base_heading,
-        graph.nbr_elevation[node][valid],
-        a,
+    tab = _angle_table(a)  # (36, 36, A)
+    pano_ang = tab[view_index]  # (..., V, A)
+    stop_ang = np.zeros(lead + (1, a), np.float32)
+    ob_ang = np.concatenate(
+        [np.where(valid[..., None], cand_ang, 0.0), stop_ang, pano_ang], axis=-2
     )
-    ob_nav[:deg] = 1
-    ob_mask[:deg] = True
 
-    # STOP slot: zero features (agent_cmt.py:119-121), nav type 2.
-    ob_nav[c] = 2
-    ob_mask[c] = True
+    ob_nav = np.zeros(lead + (spec.num_ob_tokens,), np.int32)
+    ob_nav[..., :c] = valid.astype(np.int32)
+    ob_nav[..., c] = 2
 
-    # panorama context: all 36 views, minus those claimed by candidates.
-    tab = _angle_table(a)
-    ob_img[c + 1 :] = features
-    ob_ang[c + 1 :] = tab[view_index]
-    claimed = np.zeros((spec.views,), dtype=bool)
-    claimed[point_ids] = True
-    ob_mask[c + 1 :] = ~claimed
+    # claimed[view] = any valid candidate represented by that view
+    # (one-hot reduce — a scatter would let padded writes clobber real
+    # ones at clipped index 0)
+    onehot = (idx[..., None] == np.arange(v)) & valid[..., None]
+    claimed = onehot.any(axis=-2)
+    ob_mask = np.concatenate(
+        [valid, np.ones(lead + (1,), bool), ~claimed], axis=-1
+    )
 
-    out = {
-        "ob_img": ob_img,
-        "ob_ang": ob_ang,
-        "ob_nav": ob_nav,
-        "ob_mask": ob_mask,
-        "cand_node": cand_node,
-        "cand_view": cand_view,
-        "hist_img": features[view_index],
-        "hist_pano_img": features,
-        "hist_pano_ang": tab[view_index],
-    }
-    if goal is not None:
-        out["dist_to_goal"] = np.float32(graph.dist[node, goal])
-    return out
+    hist_img = np.take_along_axis(
+        pano_feat, view_index[..., None, None], axis=-2
+    ).squeeze(-2)
 
-
-IGNORE_ID = -100
+    return FullObs(
+        ob_img=ob_img.astype(np.float32), ob_ang=ob_ang.astype(np.float32),
+        ob_nav=ob_nav, ob_mask=ob_mask, hist_img=hist_img,
+        hist_pano_img=pano_feat, hist_pano_ang=pano_ang.astype(np.float32),
+    )
 
 
 def teacher_slot(cand_node: np.ndarray, stop_slot: int, teacher_node: int,
@@ -210,39 +250,46 @@ def teacher_slot(cand_node: np.ndarray, stop_slot: int, teacher_node: int,
 def make_obs_batch(
     spec: ObsSpec,
     sim: GraphSimulator,
-    features: Sequence[np.ndarray],  # per-slot (36, D) pano features
+    features: Sequence[np.ndarray],  # per-slot (V, D) pano features
     goals: Sequence[int],
     teacher_nodes: Sequence[int],
 ) -> ObsBatch:
     b = len(features)
-    slots = []
+    c = spec.max_candidates
+    a = spec.angle_feat_size
+
+    pano_feat = np.stack(features).astype(np.float32)  # (B, V, D)
+    view_index = sim.view_index[:b].astype(np.int32).copy()
+    node = sim.node[:b].copy()
+    cand_node = np.full((b, c), -1, np.int32)
+    cand_point = np.full((b, c), -1, np.int32)
+    cand_ang = np.zeros((b, c, a), np.float32)
+    teacher = np.zeros((b,), np.int32)
+    dist_to_goal = np.zeros((b,), np.float32)
+
     for i in range(b):
-        st = sim.get_state(i)
-        slots.append(
-            make_obs_slot(spec, sim.graph(i), features[i], st.node, st.view_index,
-                          goal=goals[i])
+        g = sim.graph(i)
+        u = int(node[i])
+        nbrs = g.nbr_index[u]
+        valid = nbrs >= 0
+        deg = int(valid.sum())
+        if deg > c:
+            raise ValueError(
+                f"scan {g.scan} node {u} has degree {deg} > max_candidates {c}"
+            )
+        cand_node[i, :deg] = nbrs[valid]
+        cand_point[i, :deg] = g.nbr_point_id[u][valid]
+        base_heading = float(view_heading(view_index[i]))
+        cand_ang[i, :deg] = angle_features(
+            g.nbr_heading[u][valid] - base_heading,
+            g.nbr_elevation[u][valid], a,
         )
-    stack = {k: np.stack([s[k] for s in slots]) for k in slots[0]}
-    teacher = np.array(
-        [
-            teacher_slot(slots[i]["cand_node"], spec.stop_slot, teacher_nodes[i],
-                         int(sim.node[i]))
-            for i in range(b)
-        ],
-        dtype=np.int32,
-    )
+        teacher[i] = teacher_slot(cand_node[i], spec.stop_slot,
+                                  int(teacher_nodes[i]), u)
+        dist_to_goal[i] = g.dist[u, goals[i]]
+
     return ObsBatch(
-        ob_img=stack["ob_img"],
-        ob_ang=stack["ob_ang"],
-        ob_nav=stack["ob_nav"],
-        ob_mask=stack["ob_mask"],
-        hist_img=stack["hist_img"],
-        hist_pano_img=stack["hist_pano_img"],
-        hist_pano_ang=stack["hist_pano_ang"],
-        cand_node=stack["cand_node"],
-        cand_view=stack["cand_view"],
-        teacher=teacher,
-        node=sim.node[:b].copy(),
-        view_index=sim.view_index[:b].copy(),
-        dist_to_goal=stack["dist_to_goal"],
+        spec=spec, pano_feat=pano_feat, view_index=view_index,
+        cand_node=cand_node, cand_point=cand_point, cand_ang=cand_ang,
+        teacher=teacher, node=node, dist_to_goal=dist_to_goal,
     )

@@ -206,13 +206,10 @@ class R2RNavEnv:
         return EpisodeBatch(
             txt_ids=txt_ids,
             txt_mask=txt_mask,
-            ob_img=stack("ob_img"),
-            ob_ang=stack("ob_ang"),
-            ob_nav=stack("ob_nav"),
-            ob_mask=stack("ob_mask"),
-            hist_img=stack("hist_img"),
-            hist_pano_img=stack("hist_pano_img"),
-            hist_pano_ang=stack("hist_pano_ang"),
+            pano_feat=stack("pano_feat"),
+            view_index=stack("view_index"),
+            cand_point=stack("cand_point"),
+            cand_ang=stack("cand_ang"),
             actions=actions,
             step_mask=step_mask,
             teacher=teacher,

@@ -179,6 +179,57 @@ def convert_critic_state_dict(sd: Mapping[str, Any]) -> Dict:
     return p
 
 
+def pretrain_to_finetune_params(pretrain_params: Mapping[str, Any]) -> Dict:
+    """HAMTPretrain params -> HAMT (finetune) params.
+
+    Parity with the reference's checkpoint surgery
+    (``finetune_src/models/vlnbert_init.py:20-31``): the shared trunk
+    transfers 1:1 (our pretrain model CONTAINS the finetune module as
+    the ``hamt`` subtree), and the pretraining SAP head
+    (``next_action``) grafts onto the fine-tuning action head.
+    """
+    p = dict(pretrain_params["hamt"])
+    head = pretrain_params.get("next_action")
+    if head is not None:
+        p["act_dense1"] = head["dense1"]
+        p["act_ln"] = head["ln"]
+        p["act_dense2"] = head["dense2"]
+    return p
+
+
+def convert_hf_bert_state_dict(sd: Mapping[str, Any],
+                               num_l_layers: int = 9) -> Dict:
+    """HuggingFace bert-base-uncased state_dict -> partial HAMT params.
+
+    Initializes the text embeddings + the first ``num_l_layers``
+    encoder layers (the reference's BERT init path,
+    ``pretrain_src/main_r2r.py:131-144``). Returns a partial tree to be
+    merged over randomly-initialized params.
+    """
+    sd = {k.replace("bert.", ""): v for k, v in sd.items()}
+    p: Dict = {}
+    _embed(p, ("embeddings", "word_embeddings"), sd, "embeddings.word_embeddings")
+    _embed(p, ("embeddings", "position_embeddings"), sd,
+           "embeddings.position_embeddings")
+    _embed(p, ("embeddings", "token_type_embeddings"), sd,
+           "embeddings.token_type_embeddings")
+    _layernorm(p, ("embeddings", "LayerNorm"), sd, "embeddings.LayerNorm")
+    for i in range(num_l_layers):
+        _bert_layer(p, ("lang_layers", f"layer_{i}"), sd, f"encoder.layer.{i}")
+    return p
+
+
+def merge_params(base: Dict, override: Dict) -> Dict:
+    """Deep-merge override into a copy of base (leaves replaced)."""
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_params(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def load_reference_checkpoint(path: str):
     """Load an agent checkpoint file saved by the reference
     (agent_cmt.py:607-622) and convert both models."""

@@ -1,0 +1,164 @@
+"""Raw panorama image data for end-to-end pretraining.
+
+Parity target: ``pretrain_src/data/image_data.py`` —
+``MultiStepNavImageData`` reads (36, 248, 330, 3) uint8 panoramas from
+LMDB keyed by ``{scan}_{viewpoint}`` (:20-22, 225-237). Here the store
+is an interface: LMDB when the package is available, a directory of
+``.npy`` files, or deterministic synthetic images for hermetic runs.
+
+Batches mirror :class:`~vln_hamt_tpu.pretrain.tasks.PretrainBatcher`
+for the image-mode tasks (MLM / MRC / SAP), swapping feature tensors
+for raw pixels + per-step view indices (the model computes features
+with its in-loop ViT).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .tasks import PretrainBatcher
+from .trajectory_data import IGNORE_ID, NUM_VIEWS, TrajectoryDataset
+
+DEFAULT_IMAGE_SIZE = (248, 330)  # reference LMDB record shape (:20-22)
+
+
+class PanoImageStore:
+    """get(scan, viewpoint) -> (36, H, W, 3) uint8."""
+
+    image_size: Tuple[int, int]
+
+    def get(self, scan: str, viewpoint: str) -> np.ndarray:
+        raise NotImplementedError
+
+
+class SyntheticPanoImageStore(PanoImageStore):
+    def __init__(self, image_size: Tuple[int, int] = (32, 32)):
+        self.image_size = image_size
+
+    def get(self, scan: str, viewpoint: str) -> np.ndarray:
+        seed = abs(hash(f"img_{scan}_{viewpoint}")) % (2**32)
+        rng = np.random.default_rng(seed)
+        h, w = self.image_size
+        return rng.integers(0, 255, (NUM_VIEWS, h, w, 3), dtype=np.uint8)
+
+
+class LMDBPanoImageStore(PanoImageStore):
+    """Reference LMDB format (image_data.py:225-237)."""
+
+    def __init__(self, path: str, image_size: Tuple[int, int] = DEFAULT_IMAGE_SIZE):
+        import lmdb  # optional dependency
+
+        self.env = lmdb.open(path, readonly=True, lock=False)
+        self.image_size = image_size
+
+    def get(self, scan: str, viewpoint: str) -> np.ndarray:
+        key = f"{scan}_{viewpoint}".encode("ascii")
+        with self.env.begin() as txn:
+            buf = txn.get(key)
+        h, w = self.image_size
+        return np.frombuffer(buf, dtype=np.uint8).reshape(NUM_VIEWS, h, w, 3)
+
+
+class NpyDirPanoImageStore(PanoImageStore):
+    """{dir}/{scan}_{viewpoint}.npy with (36, H, W, 3) uint8 arrays."""
+
+    def __init__(self, root: str, image_size: Tuple[int, int] = DEFAULT_IMAGE_SIZE):
+        self.root = root
+        self.image_size = image_size
+
+    def get(self, scan: str, viewpoint: str) -> np.ndarray:
+        return np.load(os.path.join(self.root, f"{scan}_{viewpoint}.npy"))
+
+
+class ImagePretrainBatcher(PretrainBatcher):
+    """Image-mode batches for MLM / MRC / SAP.
+
+    History supplies raw per-step panoramas + the faced view index;
+    observations supply the current 36 raw views. Angle features stay
+    precomputed (pure trig). The feature-space masking of MRC moves
+    into the model (post-ViT), so here only the mask pattern ships.
+    """
+
+    def __init__(self, dataset: TrajectoryDataset, image_store: PanoImageStore,
+                 **kwargs):
+        super().__init__(dataset, **kwargs)
+        self.image_store = image_store
+
+    def _attach_images(self, b: Dict[str, np.ndarray], refs, step_mode: bool):
+        h, w = self.image_store.image_size
+        bs = len(refs)
+        t_max = self.ds.max_hist_len
+        pano = np.zeros((bs, t_max, NUM_VIEWS, h, w, 3), np.uint8)
+        vidx = np.zeros((bs, t_max), np.int32)
+        ob_imgs = np.zeros((bs, NUM_VIEWS, h, w, 3), np.uint8)
+        for i, (i_traj, j_instr, t_cur) in enumerate(refs):
+            rec = self.ds.records[i_traj]
+            for t in range(min(t_cur, t_max)):
+                pano[i, t] = self.image_store.get(rec.scan, rec.path[t])
+                vidx[i, t] = rec.path_viewindex[t]
+            if step_mode:
+                ob_imgs[i] = self.image_store.get(rec.scan, rec.path[t_cur])
+        b["hist_pano_images"] = pano
+        b["hist_viewindex"] = vidx
+        if step_mode:
+            b["ob_images"] = ob_imgs
+        # image-mode drops the precomputed feature tensors
+        for k in ("hist_img", "hist_pano_img", "ob_img"):
+            b.pop(k, None)
+        return b
+
+    def batch(self, task: str, batch_size: int) -> Dict[str, np.ndarray]:
+        if task not in ("mlm", "mrc", "sap"):
+            raise ValueError(f"image-mode supports mlm/mrc/sap, got {task!r}")
+        # re-sample refs locally so we know which records were drawn
+        if task in ("mlm", "mrc"):
+            refs = [self.ds.traj_refer[self.rng.integers(len(self.ds.traj_refer))]
+                    for _ in range(batch_size)]
+        else:
+            refs = [self.ds.traj_step_refer[
+                self.rng.integers(len(self.ds.traj_step_refer))]
+                for _ in range(batch_size)]
+
+        b: Dict[str, np.ndarray] = {}
+        exs = []
+        for (i, j, t) in refs:
+            rec = self.ds.records[i]
+            ex = {}
+            ex.update(self.ds.txt_arrays(rec, j))
+            ex.update(self.ds.history_arrays(rec, t, want_probs=task == "mrc"))
+            if task == "sap":
+                ex.update(self.ds.ob_pano_arrays(rec, t))
+            exs.append(ex)
+        b = self._stack(exs)
+
+        if task == "mlm":
+            ids, labels = zip(*[
+                self._mask_tokens(b["txt_ids"][i], b["txt_mask"][i])
+                for i in range(batch_size)
+            ])
+            b["txt_ids"] = np.stack(ids)
+            b["txt_labels"] = np.stack(labels)
+        elif task == "mrc":
+            t_max = self.ds.max_hist_len
+            mrc = np.zeros((batch_size, t_max), bool)
+            for i, ex in enumerate(exs):
+                t = ex["hist_len"]
+                m = self.rng.random(t) < self.mrc_mask_prob
+                if t > 0 and not m.any():
+                    m[self.rng.integers(t)] = True
+                mrc[i, :t] = m
+            b["hist_mrc_masks"] = mrc
+        elif task == "sap":
+            # random visual kill becomes a scalar flag consumed post-ViT
+            # (image_vilmodel.py ob_v_exists, :101-102)
+            b["ob_v_exists"] = (
+                self.rng.random(batch_size) >= self.random_kill_v
+            ).astype(np.float32)
+            # image-mode uses the 36+STOP layout; trim pre-appended STOP
+            b["ob_ang"] = b["ob_ang"]
+            b["ob_nav"] = b["ob_nav"]
+
+        return self._attach_images(b, refs, step_mode=task == "sap")

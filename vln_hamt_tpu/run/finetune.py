@@ -32,7 +32,7 @@ from ..data.instructions import construct_instrs
 from ..data.nav_graph import load_nav_graphs
 from ..env import CVDNNavEnv, ObsSpec, R2RBackNavEnv, R2RNavEnv, ReverieNavEnv
 from ..parallel.mesh import host_allgather
-from ..utils.logging import MetricsLogger
+from ..utils.logging import MetricsLogger, write_record
 
 
 def selection_score(dataset: str, metrics: Dict[str, float]) -> float:
@@ -165,12 +165,27 @@ def train(
     output_dir: str,
     iters: Optional[int] = None,
     log_every: Optional[int] = None,
+    eval_first: bool = False,
+    resume_file: Optional[str] = None,
 ) -> Dict[str, float]:
     """The main train/validate loop (main.py:86-222)."""
     os.makedirs(output_dir, exist_ok=True)
     logger = MetricsLogger(output_dir)
+    record_file = os.path.join(output_dir, "train.txt")
     dataset = cfg.env.dataset
     agent = _AGENT_CLS[dataset](cfg, train_env, seed=cfg.train.seed)
+    if resume_file:
+        agent.load(resume_file, resume_optimizer=cfg.train.resume_optimizer)
+    # config dump (reference save_training_meta, utils/save.py:12-20)
+    with open(os.path.join(output_dir, "training_config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    if eval_first:  # sanity eval before training (main.py:112-128)
+        for name, env in val_envs.items():
+            preds = agent.eval_split(env)
+            metrics, _ = env.eval_metrics(
+                [p for shard in host_allgather(preds) for p in shard])
+            write_record(record_file, f"eval_first {name}: {metrics}")
 
     iters = iters or cfg.train.iters
     log_every = log_every or cfg.train.log_every
@@ -182,8 +197,11 @@ def train(
         losses = []
         with logger.timer("train"):
             for _ in range(interval):
-                out = agent.train_iteration()
+                # async: device works while the host assembles the next
+                # episode; sync only at the logging boundary
+                out = agent.train_iteration(sync=False)
                 losses.append(out["loss"])
+            losses = [float(np.asarray(l)) for l in losses]
         step += interval
         logger.log(step, {"loss": float(np.mean(losses)),
                           **{k: float(np.mean(v[-interval:]))
@@ -195,6 +213,8 @@ def train(
                 merged = [p for shard in host_allgather(preds) for p in shard]
                 metrics, _ = env.eval_metrics(merged)
             logger.log(step, metrics, prefix=f"{name}/")
+            write_record(record_file, f"iter {step} {name}: " + ", ".join(
+                f"{k}={v:.2f}" for k, v in metrics.items()))
             if name == "val_unseen":
                 score = selection_score(dataset, metrics)
                 if score > best["score"]:
@@ -244,6 +264,7 @@ def parse_args(argv=None):
     p.add_argument("--img_ft_file", default=None)
     p.add_argument("--aug", default=None)
     p.add_argument("--resume_file", default=None)
+    p.add_argument("--eval_first", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     return p.parse_args(argv)
@@ -271,7 +292,8 @@ def main(argv=None):
         cfg, train_env, val_envs = build_real_dataset(cfg, args)
 
     best = train(cfg, train_env, val_envs, args.output_dir,
-                 iters=args.iters, log_every=args.log_every)
+                 iters=args.iters, log_every=args.log_every,
+                 eval_first=args.eval_first, resume_file=args.resume_file)
     print(json.dumps({"best": best}, default=float))
 
 

@@ -71,6 +71,27 @@ def write_record(path: str, text: str) -> None:
         f.write(text.rstrip() + "\n")
 
 
+class profile_trace:
+    """jax.profiler trace scope (SURVEY §5: tracing the reference
+    lacks). Usage: ``with profile_trace("runs/trace"): step()`` — view
+    with TensorBoard's profile plugin or xprof."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+
+
 class MetricsLogger:
     """JSONL metrics sink with per-phase timers and optional TB mirror."""
 
