@@ -102,6 +102,20 @@ def test_eval_split_covers_all_items(setup):
     assert np.isfinite(agg["nDTW"])
 
 
+def test_packed_eval_matches_lockstep(setup):
+    """Continuation-packed eval must produce the SAME greedy
+    trajectories as the lock-step evaluator (policy is deterministic)."""
+    cfg, env, agent = setup
+    lock = {p["instr_id"]: [x[0] for x in p["trajectory"]]
+            for p in agent.eval_split()}
+    packed = {p["instr_id"]: [x[0] for x in p["trajectory"]]
+              for p in agent.eval_split_packed()}
+    assert set(lock) == set(packed)
+    mismatches = {k for k in lock if lock[k] != packed[k]}
+    assert not mismatches, (mismatches, {k: (lock[k], packed[k])
+                                         for k in list(mismatches)[:2]})
+
+
 def test_save_load_roundtrip(setup, tmp_path):
     cfg, env, agent = setup
     path = str(tmp_path / "ckpt.pkl")

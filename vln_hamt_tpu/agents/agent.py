@@ -99,6 +99,11 @@ class TrainState:
 
 
 class HAMTAgent:
+    #: packed eval assumes single-phase episodes ending at the first
+    #: STOP with no extra per-episode outputs; variant agents with
+    #: richer episode semantics opt out
+    supports_packed_eval = True
+
     def __init__(self, cfg: HAMTConfig, env: Optional[R2RNavEnv] = None,
                  seed: int = 0):
         self.cfg = cfg
@@ -484,6 +489,123 @@ class HAMTAgent:
                     pred[extra] = v[extra]
             out.append(pred)
         return out
+
+    def eval_split_packed(self, env: Optional[R2RNavEnv] = None,
+                          no_cand_backtrack: bool = False) -> List[dict]:
+        """Continuation-packed greedy evaluation.
+
+        The lock-step evaluator idles a batch slot once its episode
+        stops and only retires a batch when ALL episodes stop. Here a
+        finished slot immediately loads the next pending item: its
+        history-cache row is reset on device, its text row re-encoded,
+        and its per-slot step counter restarts — so the device stays at
+        full batch occupancy for the whole split. Semantics match
+        :meth:`eval_split` (each item predicted exactly once).
+        """
+        from .rollout import build_slot_reset
+
+        env = env or self.env
+        old_env, self.env = self.env, env
+        if not hasattr(self, "_slot_reset"):
+            self._slot_reset = build_slot_reset(self.model)
+
+        items = list(env.data)
+        b = env.batch_size
+        t_max = env.max_action_len
+        stop = self.stop_slot
+        fd = self._feat_dtype()
+
+        # initial fill (pad by cycling when the split is tiny)
+        first = [items[i % len(items)] for i in range(b)]
+        env.batch = list(first)
+        env.sim.new_episodes(
+            [it["scan"] for it in first],
+            [it["path"][0] for it in first],
+            [it.get("heading", 0.0) for it in first],
+        )
+        pending = list(items[b:])
+        pending.reverse()  # pop() from the front of the split order
+
+        txt_ids, txt_mask = env.txt_batch()
+        rng = self._next_rng()
+        txt_embeds = self.encode_text(self.state.params,
+                                      jnp.asarray(txt_ids),
+                                      jnp.asarray(txt_mask),
+                                      rng, True)
+        hist_cache = jnp.zeros(
+            (b, t_max + 1, self.cfg.model.hidden_size),
+            jnp.bfloat16 if self.cfg.model.dtype == "bfloat16" else jnp.float32)
+        hist_cache, hist_len = self._slot_reset(
+            self.state.params, hist_cache, jnp.ones((b,), jnp.int32),
+            jnp.ones((b,), bool), rng)
+
+        t_vec = np.zeros((b,), np.int32)
+        active = np.ones((b,), bool)
+        traj = [[self._pose_tuple(env, i)] for i in range(b)]
+        visited = [set([int(env.sim.node[i])]) for i in range(b)]
+        results: Dict[str, dict] = {}
+
+        obs = env._observe()
+        while active.any():
+            forbid = np.zeros((b, self.num_ob_tokens), bool)
+            if no_cand_backtrack:
+                for i in range(b):
+                    for c in range(stop):
+                        cn = int(obs.cand_node[i, c])
+                        if cn >= 0 and cn in visited[i]:
+                            forbid[i, c] = True
+            a_dev, _, _, hist_cache, hist_len = self.policy_step(
+                self.state.params, self.state.cparams, txt_embeds,
+                jnp.asarray(txt_mask), hist_cache, hist_len,
+                jnp.asarray(np.minimum(t_vec, t_max - 1)),
+                jnp.asarray(obs.pano_feat, fd), jnp.asarray(obs.view_index),
+                jnp.asarray(obs.cand_point), jnp.asarray(obs.cand_ang),
+                jnp.asarray(active), jnp.asarray(forbid),
+                jnp.zeros((b,), jnp.int32), self._next_rng(),
+                mode="argmax", deterministic=True,
+            )
+            a_t = np.asarray(a_dev)
+
+            env_actions = np.where(active & (a_t != stop), a_t, -1)
+            obs_after = env.step(env_actions, obs)
+            reset_mask = np.zeros((b,), bool)
+            for i in range(b):
+                if not active[i]:
+                    continue
+                if env_actions[i] >= 0:
+                    traj[i].append(self._pose_tuple(env, i))
+                    visited[i].add(int(env.sim.node[i]))
+                    t_vec[i] += 1
+                done = a_t[i] == stop or t_vec[i] >= t_max
+                if not done:
+                    continue
+                instr_id = env.batch[i]["instr_id"]
+                if instr_id not in results:
+                    results[instr_id] = {"instr_id": instr_id,
+                                         "trajectory": traj[i]}
+                if pending:
+                    env.load_item(i, pending.pop())
+                    traj[i] = [self._pose_tuple(env, i)]
+                    visited[i] = set([int(env.sim.node[i])])
+                    t_vec[i] = 0
+                    reset_mask[i] = True
+                else:
+                    active[i] = False
+            if reset_mask.any():
+                hist_cache, hist_len = self._slot_reset(
+                    self.state.params, hist_cache, hist_len,
+                    jnp.asarray(reset_mask), rng)
+                txt_ids, txt_mask = env.txt_batch()
+                txt_embeds = self.encode_text(
+                    self.state.params, jnp.asarray(txt_ids),
+                    jnp.asarray(txt_mask), rng, True)
+                obs = env._observe()
+            else:
+                obs = obs_after
+
+        self.env = old_env
+        # cycled-fill duplicates resolve to the first prediction
+        return list(results.values())
 
     # ------------------------------------------------------ checkpoints
     def save(self, path: str) -> None:

@@ -201,6 +201,8 @@ def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
 class ReverieAgent(HAMTAgent):
     """Joint nav + grounding agent over :class:`ReverieNavEnv`."""
 
+    supports_packed_eval = False  # object inputs + predObjId output
+
     def __init__(self, cfg: HAMTConfig, env=None, seed: int = 0):
         assert cfg.model.obj_feat_size > 0, "REVERIE needs obj_feat_size > 0"
         super().__init__(cfg, env, seed=seed)

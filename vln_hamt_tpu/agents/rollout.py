@@ -281,13 +281,35 @@ def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig):
             ob["hist_img"], act_ang, t, ob["pano_img"], ob["pano_ang"],
             deterministic, method=HAMT.encode_history, rngs={"dropout": k_hist},
         )
-        hist_cache = jax.lax.dynamic_update_slice(
-            hist_cache, new_tok[:, None, :].astype(hist_cache.dtype), (0, t + 1, 0)
+        # per-sample write position: t may be a scalar (lock-step
+        # rollout) or a (B,) vector (continuation-packed eval)
+        b = hist_cache.shape[0]
+        t_vec = jnp.broadcast_to(jnp.asarray(t, jnp.int32), (b,))
+        hist_cache = hist_cache.at[jnp.arange(b), t_vec + 1].set(
+            new_tok.astype(hist_cache.dtype)
         )
         hist_len = hist_len + live.astype(jnp.int32)
         return action, logits, value, hist_cache, hist_len
 
     return policy_step
+
+
+def build_slot_reset(model: HAMT):
+    """Reset selected history-cache slots to a fresh episode state
+    (continuation-packed eval: a finished slot takes the next item)."""
+
+    @partial(jax.jit, donate_argnames=("hist_cache",))
+    def slot_reset(params, hist_cache, hist_len, reset_mask, rng):
+        b, h, d = hist_cache.shape
+        hist0 = model.apply({"params": params}, b, True,
+                            method=HAMT.init_history,
+                            rngs={"dropout": rng})
+        fresh = jnp.zeros((b, h, d), hist_cache.dtype).at[:, 0].set(hist0)
+        hist_cache = jnp.where(reset_mask[:, None, None], fresh, hist_cache)
+        hist_len = jnp.where(reset_mask, 1, hist_len)
+        return hist_cache, hist_len
+
+    return slot_reset
 
 
 def build_text_encoder(model: HAMT):

@@ -24,6 +24,8 @@ from .agent import HAMTAgent
 
 
 class R2RBackAgent(HAMTAgent):
+    supports_packed_eval = False  # two-phase episodes + midstop output
+
     def _episode_state_init(self, obs, graphs, traj) -> Dict[str, Any]:
         st = super()._episode_state_init(obs, graphs, traj)
         b = obs.batch_size

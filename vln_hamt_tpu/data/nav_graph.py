@@ -48,7 +48,7 @@ class NavGraph:
     """
 
     def __init__(self, scan: str, node_ids: Sequence[str], positions: np.ndarray,
-                 adj: np.ndarray):
+                 adj: np.ndarray, use_native: bool = False):
         self.scan = scan
         self.node_ids: List[str] = list(node_ids)
         self.node_index: Dict[str, int] = {v: i for i, v in enumerate(self.node_ids)}
@@ -60,8 +60,31 @@ class NavGraph:
         np.fill_diagonal(self.adj, False)
         assert (self.adj == self.adj.T).all(), "graph must be undirected"
 
+        if use_native and self._build_native():
+            return
         self._build_shortest_paths()
         self._build_neighbor_tables()
+
+    def _build_native(self) -> bool:
+        """Build the dense tables with the C++ core (native/navsim.cpp);
+        falls back to numpy when the library can't be built."""
+        try:
+            from ..native import NativeNavGraph
+        except Exception:
+            return False
+        try:
+            ng = NativeNavGraph(self.positions, self.adj)
+        except Exception:
+            return False
+        self.dist = ng.dist
+        self.next_hop = ng.next_hop
+        self.max_degree = ng.max_degree
+        self.nbr_index = ng.nbr_index
+        self.nbr_heading = ng.nbr_heading
+        self.nbr_elevation = ng.nbr_elevation
+        self.nbr_point_id = ng.nbr_point_id
+        self.nbr_mask = self.nbr_index >= 0
+        return True
 
     # ------------------------------------------------------------------
     @property
@@ -146,7 +169,7 @@ class NavGraph:
 
 
 # ----------------------------------------------------------------------
-def _parse_connectivity(scan: str, raw: list) -> NavGraph:
+def _parse_connectivity(scan: str, raw: list, use_native: bool = False) -> NavGraph:
     included = [item["included"] for item in raw]
     ids = [item["image_id"] for item in raw]
     n = len(raw)
@@ -171,15 +194,23 @@ def _parse_connectivity(scan: str, raw: list) -> NavGraph:
     # between included nodes, so excluded nodes are isolated there).
     kept_idx = np.nonzero(keep)[0]
     node_ids = [ids[i] for i in kept_idx]
-    return NavGraph(scan, node_ids, pos_full[kept_idx], adj_full[np.ix_(kept_idx, kept_idx)])
+    return NavGraph(scan, node_ids, pos_full[kept_idx],
+                    adj_full[np.ix_(kept_idx, kept_idx)], use_native=use_native)
 
 
-def load_nav_graph(connectivity_dir: str, scan: str) -> NavGraph:
+def load_nav_graph(connectivity_dir: str, scan: str,
+                   use_native: bool = True) -> NavGraph:
     path = os.path.join(connectivity_dir, f"{scan}_connectivity.json")
     with open(path) as f:
-        return _parse_connectivity(scan, json.load(f))
+        return _parse_connectivity(scan, json.load(f), use_native=use_native)
 
 
-def load_nav_graphs(connectivity_dir: str, scans: Iterable[str]) -> Dict[str, NavGraph]:
-    """Parity entry point for ``finetune_src/r2r/data_utils.py:86-111``."""
-    return {scan: load_nav_graph(connectivity_dir, scan) for scan in scans}
+def load_nav_graphs(connectivity_dir: str, scans: Iterable[str],
+                    use_native: bool = True) -> Dict[str, NavGraph]:
+    """Parity entry point for ``finetune_src/r2r/data_utils.py:86-111``.
+
+    Real Matterport scans reach ~350 viewpoints; the O(V^3) shortest-path
+    precompute runs in the C++ core by default (numpy fallback).
+    """
+    return {scan: load_nav_graph(connectivity_dir, scan, use_native)
+            for scan in scans}

@@ -119,6 +119,12 @@ class R2RNavEnv:
         teacher_nodes = [self._teacher_node(i) for i in range(b)]
         return make_obs_batch(self.spec, self.sim, feats, goals, teacher_nodes)
 
+    def load_item(self, slot: int, item: dict) -> None:
+        """Swap one slot's episode in place (continuation-packed eval)."""
+        self.batch[slot] = item
+        self.sim.new_episode_at(slot, item["scan"], item["path"][0],
+                                item.get("heading", 0.0))
+
     def reset(self) -> ObsBatch:
         self._next_minibatch()
         self.sim.new_episodes(

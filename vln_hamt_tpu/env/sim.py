@@ -94,6 +94,14 @@ class GraphSimulator:
             self.node[i] = g.index(vp)
             self.view_index[i] = snap_heading_to_view(h, e)
 
+    def new_episode_at(self, slot: int, scan: str, viewpoint: str,
+                       heading: float, elevation: float = 0.0) -> None:
+        """Replace a single slot's episode (continuation packing)."""
+        g = self.graphs[scan]
+        self._scan[slot] = scan
+        self.node[slot] = g.index(viewpoint)
+        self.view_index[slot] = snap_heading_to_view(heading, elevation)
+
     def move(self, slot: int, target_node: int, target_view: int) -> None:
         """Direct transition to a neighboring node + representative view.
 

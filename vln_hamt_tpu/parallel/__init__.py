@@ -5,6 +5,8 @@ from .mesh import (
     shard_batch,
     replicate,
     host_allgather,
+    init_distributed,
+    is_default_process,
 )
 
 __all__ = [
@@ -14,4 +16,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "host_allgather",
+    "init_distributed",
+    "is_default_process",
 ]

@@ -93,6 +93,35 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host runtime initialization.
+
+    Replaces the reference's NCCL process-group setup with its
+    file:// sync-file rendezvous and env-derived ranks
+    (``finetune_src/utils/distributed.py:13-71``):
+    ``jax.distributed.initialize`` uses a coordinator address (on TPU
+    pods all arguments are auto-detected from the environment). No-op
+    when already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process local run
+
+
+def is_default_process() -> bool:
+    """Rank-0 gating (reference ``is_default_gpu``, distributed.py:74-75)."""
+    return jax.process_index() == 0
+
+
 def host_allgather(obj: Any) -> list:
     """Gather a python object from all hosts (single-host: [obj]).
 

@@ -126,17 +126,34 @@ class PretrainTrainer:
         self._update = _update
         self._eval = _eval
         self.logs: Dict[str, List[float]] = defaultdict(list)
+        # single-worker prefetch: batch k+1 is built on a host thread
+        # while the device trains on batch k (the reference's
+        # PrefetchLoader H2D overlap, pretrain_src/data/loader.py:90-124)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._next_batch = None
 
     # ------------------------------------------------------------------
-    def train_step(self) -> Tuple[str, float, Dict[str, float]]:
-        task = self.scheduler.sample(self.state.step)
-        batch = self.batcher.batch(task, self.batch_size)
+    def _build_batch(self, step: int):
+        task = self.scheduler.sample(step)
+        return task, self.batcher.batch(task, self.batch_size)
+
+    def train_step(self, sync: bool = True) -> Tuple[str, Any, Dict[str, Any]]:
+        if self._next_batch is None:
+            self._next_batch = self._pool.submit(self._build_batch,
+                                                 self.state.step)
+        task, batch = self._next_batch.result()
+        self._next_batch = self._pool.submit(self._build_batch,
+                                             self.state.step + 1)
         batch = jax.tree.map(jnp.asarray, batch)
         self._rng, rng = jax.random.split(self._rng)
         params, opt_state, loss, aux = self._update(
             self.state.params, self.state.opt_state, batch, rng, task
         )
         self.state = PretrainState(params, opt_state, self.state.step + 1)
+        if not sync:
+            return task, loss, aux
         loss = float(loss)
         self.logs[f"{task}_loss"].append(loss)
         return task, loss, {k: float(np.asarray(v)) for k, v in aux.items()}

@@ -209,7 +209,10 @@ def train(
 
         for name, env in val_envs.items():
             with logger.timer(f"eval_{name}"):
-                preds = agent.eval_split(env)
+                if agent.supports_packed_eval:
+                    preds = agent.eval_split_packed(env)
+                else:
+                    preds = agent.eval_split(env)
                 merged = [p for shard in host_allgather(preds) for p in shard]
                 metrics, _ = env.eval_metrics(merged)
             logger.log(step, metrics, prefix=f"{name}/")
@@ -259,6 +262,8 @@ def parse_args(argv=None):
     p.add_argument("--feedback", default=None, choices=["teacher", "sample"])
     p.add_argument("--synthetic", action="store_true",
                    help="run on hermetic fixture worlds")
+    p.add_argument("--tiny", action="store_true",
+                   help="small model + short episodes (smoke tests/demos)")
     p.add_argument("--anno_dir", default=None)
     p.add_argument("--connectivity_dir", default=None)
     p.add_argument("--img_ft_file", default=None)
@@ -281,6 +286,19 @@ def main(argv=None):
     cfg = cfg.replace(train=overrides)
     if args.bf16:
         cfg = cfg.replace(model={"dtype": "bfloat16"})
+    if args.tiny:
+        cfg = cfg.replace(
+            model={"hidden_size": 64, "num_attention_heads": 4,
+                   "intermediate_size": 128, "num_l_layers": 2,
+                   "num_x_layers": 1, "num_h_pano_layers": 1,
+                   "image_feat_size": 32, "max_position_embeddings": 64,
+                   "max_action_steps": 24,
+                   **({"obj_feat_size": 32}
+                      if cfg.model.obj_feat_size > 0 else {})},
+            env={"max_action_len": 8, "max_instr_len": 32,
+                 "image_feat_size": 32},
+            train={"batch_size": 4, "lr": 1e-3},
+        )
 
     if args.synthetic:
         cfg, train_env, val_envs = build_synthetic_dataset(cfg, args.seed)

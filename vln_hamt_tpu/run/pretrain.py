@@ -82,6 +82,8 @@ def parse_args(argv=None):
     p.add_argument("--mix_ratio", nargs="+", type=float,
                    default=list(DEFAULT_MIX))
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="small model (smoke tests/demos)")
     p.add_argument("--train_traj_files", nargs="+", default=None)
     p.add_argument("--val_traj_files", nargs="+", default=None)
     p.add_argument("--img_ft_file", default=None)
@@ -93,11 +95,18 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    import dataclasses
+
     mcfg = get_preset("r2r").model
     if args.bf16:
-        import dataclasses
-
         mcfg = dataclasses.replace(mcfg, dtype="bfloat16")
+    if args.tiny:
+        mcfg = dataclasses.replace(
+            mcfg, hidden_size=64, num_attention_heads=4,
+            intermediate_size=128, num_l_layers=2, num_x_layers=1,
+            num_h_pano_layers=1, image_feat_size=32, image_prob_size=16,
+            max_position_embeddings=128, max_action_steps=32,
+        )
 
     if args.synthetic:
         train_ds, val_ds = build_synthetic(args, mcfg)
