@@ -18,13 +18,14 @@ with a measured value when available.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 ESTIMATED_REFERENCE_EPS = 20.0  # episodes/sec, 1x V100, IL batch 8 (estimate)
 
-BATCH_SIZE = 32
+BATCH_SIZE = int(os.environ.get("BENCH_BS", 32))
 WARMUP_STEPS = 2
-MEASURE_STEPS = 8
+MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", 8))
 
 
 def main() -> None:

@@ -48,6 +48,12 @@ def _batch():
         "ob_nav": jnp.ones((B, V + 1), jnp.int32).at[:, V].set(2),
         "ob_mask": jnp.ones((B, V + 1), bool),
         "ob_action_viewindex": jnp.asarray([1, V], jnp.int32),
+        "ob_action_angles": jnp.zeros((B, 2)),
+        "ob_progress": jnp.asarray([0.0, 1.0]),
+        "sp_anchor_idxs": jnp.asarray([0, 3], jnp.int32),
+        "sp_targets": jnp.zeros((B, V, 2)),
+        "itm_neg_idxs": jnp.asarray([[1], [0]], jnp.int32),
+        "itm_shuffled_pos": jnp.zeros((1, B, T), jnp.int32),
         "ob_v_exists": jnp.ones((B,), jnp.float32),
     }
 
@@ -56,7 +62,7 @@ def _batch():
 def test_image_tasks_finite(img_model):
     model, params = img_model
     batch = _batch()
-    for task in ("mrc", "sap", "mlm"):
+    for task in ("mrc", "sap", "mlm", "sar", "sprel", "itm"):
         loss, aux = model.apply({"params": params}, batch, task,
                                 deterministic=True)
         assert np.isfinite(float(loss)), task
@@ -104,11 +110,11 @@ def test_image_batcher():
                            max_txt_len=16, max_hist_len=4)
     batcher = ImagePretrainBatcher(ds, SyntheticPanoImageStore((32, 32)),
                                    seed=0, vocab_mask_range=(1000, 2000))
-    for task in ("mlm", "mrc", "sap"):
+    for task in ("mlm", "mrc", "sap", "sar", "sprel", "itm"):
         b = batcher.batch(task, 2)
         assert b["hist_pano_images"].shape == (2, 4, 36, 32, 32, 3)
         assert "hist_img" not in b and "ob_img" not in b
-        if task == "sap":
+        if task in ("sap", "sar", "sprel"):
             assert b["ob_images"].shape == (2, 36, 32, 32, 3)
     with pytest.raises(ValueError):
-        batcher.batch("itm", 2)
+        batcher.batch("nope", 2)

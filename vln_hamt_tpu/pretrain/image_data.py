@@ -7,7 +7,7 @@ is an interface: LMDB when the package is available, a directory of
 ``.npy`` files, or deterministic synthetic images for hermetic runs.
 
 Batches mirror :class:`~vln_hamt_tpu.pretrain.tasks.PretrainBatcher`
-for the image-mode tasks (MLM / MRC / SAP), swapping feature tensors
+for all six image-mode tasks, swapping feature tensors
 for raw pixels + per-step view indices (the model computes features
 with its in-loop ViT).
 """
@@ -74,7 +74,7 @@ class NpyDirPanoImageStore(PanoImageStore):
 
 
 class ImagePretrainBatcher(PretrainBatcher):
-    """Image-mode batches for MLM / MRC / SAP.
+    """Image-mode batches for all six proxy tasks.
 
     History supplies raw per-step panoramas + the faced view index;
     observations supply the current 36 raw views. Angle features stay
@@ -110,11 +110,14 @@ class ImagePretrainBatcher(PretrainBatcher):
             b.pop(k, None)
         return b
 
+    STEP_TASKS = ("sap", "sar", "sprel")
+    TRAJ_TASKS = ("mlm", "mrc", "itm")
+
     def batch(self, task: str, batch_size: int) -> Dict[str, np.ndarray]:
-        if task not in ("mlm", "mrc", "sap"):
-            raise ValueError(f"image-mode supports mlm/mrc/sap, got {task!r}")
+        if task not in self.STEP_TASKS + self.TRAJ_TASKS:
+            raise ValueError(f"unknown image-mode task {task!r}")
         # re-sample refs locally so we know which records were drawn
-        if task in ("mlm", "mrc"):
+        if task in self.TRAJ_TASKS:
             refs = [self.ds.traj_refer[self.rng.integers(len(self.ds.traj_refer))]
                     for _ in range(batch_size)]
         else:
@@ -122,15 +125,16 @@ class ImagePretrainBatcher(PretrainBatcher):
                 self.rng.integers(len(self.ds.traj_step_refer))]
                 for _ in range(batch_size)]
 
-        b: Dict[str, np.ndarray] = {}
         exs = []
         for (i, j, t) in refs:
             rec = self.ds.records[i]
             ex = {}
             ex.update(self.ds.txt_arrays(rec, j))
             ex.update(self.ds.history_arrays(rec, t, want_probs=task == "mrc"))
-            if task == "sap":
+            if task in self.STEP_TASKS:
                 ex.update(self.ds.ob_pano_arrays(rec, t))
+                if task == "sar":
+                    ex["ob_progress"] = np.float32(self.ds.progress(rec, t))
             exs.append(ex)
         b = self._stack(exs)
 
@@ -151,14 +155,34 @@ class ImagePretrainBatcher(PretrainBatcher):
                     m[self.rng.integers(t)] = True
                 mrc[i, :t] = m
             b["hist_mrc_masks"] = mrc
-        elif task == "sap":
+        elif task == "itm":
+            k1 = self.itm_in_batch_negs if batch_size > 1 else 0
+            k2 = self.itm_shuffle_negs + (self.itm_in_batch_negs - k1)
+            if k1 > 0:
+                neg = np.zeros((batch_size, k1), np.int64)
+                for i in range(batch_size):
+                    pool = [x for x in range(batch_size) if x != i]
+                    neg[i] = self.rng.choice(pool, k1, replace=len(pool) < k1)
+                b["itm_neg_idxs"] = neg
+            h = self.ds.max_hist_len
+            shuf = np.zeros((k2, batch_size, h), np.int32)
+            for k in range(k2):
+                for i, ex in enumerate(exs):
+                    t = ex["hist_len"]
+                    perm = self.rng.permutation(t)
+                    shuf[k, i] = np.concatenate([perm, np.arange(t, h)])
+            b["itm_shuffled_pos"] = shuf
+        elif task in ("sap", "sar", "sprel"):
             # random visual kill becomes a scalar flag consumed post-ViT
             # (image_vilmodel.py ob_v_exists, :101-102)
             b["ob_v_exists"] = (
                 self.rng.random(batch_size) >= self.random_kill_v
             ).astype(np.float32)
-            # image-mode uses the 36+STOP layout; trim pre-appended STOP
-            b["ob_ang"] = b["ob_ang"]
-            b["ob_nav"] = b["ob_nav"]
+            if task == "sprel":
+                from .tasks import sprel_target_table
 
-        return self._attach_images(b, refs, step_mode=task == "sap")
+                anchors = self.rng.integers(0, NUM_VIEWS, batch_size)
+                b["sp_anchor_idxs"] = anchors.astype(np.int32)
+                b["sp_targets"] = sprel_target_table()[anchors]
+
+        return self._attach_images(b, refs, step_mode=task in self.STEP_TASKS)

@@ -128,17 +128,21 @@ def init_image_pretrain_params(cfg, vit_cfg: ViTConfig, rng: jax.Array,
         "ob_nav": jnp.ones((b, views + 1), jnp.int32),
         "ob_mask": jnp.ones((b, views + 1), bool),
         "ob_action_viewindex": jnp.zeros((b,), jnp.int32),
+        "ob_action_angles": jnp.zeros((b, 2)),
+        "ob_progress": jnp.zeros((b,)),
+        "sp_anchor_idxs": jnp.zeros((b,), jnp.int32),
+        "sp_targets": jnp.zeros((b, views, 2)),
+        "itm_neg_idxs": jnp.zeros((b, 1), jnp.int32),
+        "itm_shuffled_pos": jnp.zeros((1, b, max_hist_len), jnp.int32),
         "ob_v_exists": jnp.ones((b,), jnp.float32),
     }
 
     def init_fn(self, batch):
-        # round-1 image-mode task coverage: MLM / MRC / SAP (the
-        # remaining heads train in the feature-based pipeline and share
-        # the trunk parameters through the checkpoint)
-        l1, _ = self(batch, "mrc", deterministic=True)
-        l2, _ = self(batch, "sap", deterministic=True)
-        l3, _ = self(batch, "mlm", deterministic=True)
-        return l1 + l2 + l3
+        total = 0.0
+        for task in ("mlm", "mrc", "itm", "sap", "sar", "sprel"):
+            loss, _ = self(batch, task, deterministic=True)
+            total = total + loss
+        return total
 
     k1, k2 = jax.random.split(rng)
     variables = model.init({"params": k1, "dropout": k2}, dummy,

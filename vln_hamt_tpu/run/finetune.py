@@ -120,7 +120,9 @@ def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
     splits = {"train": ["train"], "val_seen": ["val_seen"],
               "val_unseen": ["val_unseen"]}
     if args.aug:
-        splits["train"] = ["train", args.aug]
+        # separate aug env; training alternates GT/aug batches
+        # (main.py:150-161)
+        splits["aug"] = [args.aug]
 
     instr = {
         name: construct_instrs(args.anno_dir, dataset, sp,
@@ -151,6 +153,8 @@ def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
         )
 
     train_env = make_env(instr["train"], "train", shard=False)
+    if args.aug:
+        train_env = (train_env, make_env(instr["aug"], "aug", shard=False))
     val_envs = {
         name: make_env(instr[name], name, shard=True)
         for name in ("val_seen", "val_unseen")
@@ -173,6 +177,11 @@ def train(
     logger = MetricsLogger(output_dir)
     record_file = os.path.join(output_dir, "train.txt")
     dataset = cfg.env.dataset
+    # (train_env, aug_env) tuple -> alternate GT/aug batches
+    # (main.py:150-161)
+    aug_env = None
+    if isinstance(train_env, tuple):
+        train_env, aug_env = train_env
     agent = _AGENT_CLS[dataset](cfg, train_env, seed=cfg.train.seed)
     if resume_file:
         agent.load(resume_file, resume_optimizer=cfg.train.resume_optimizer)
@@ -196,9 +205,11 @@ def train(
         interval = min(log_every, iters - step)
         losses = []
         with logger.timer("train"):
-            for _ in range(interval):
+            for j in range(interval):
                 # async: device works while the host assembles the next
                 # episode; sync only at the logging boundary
+                if aug_env is not None:
+                    agent.env = train_env if j % 2 == 0 else aug_env
                 out = agent.train_iteration(sync=False)
                 losses.append(out["loss"])
             losses = [float(np.asarray(l)) for l in losses]
