@@ -47,10 +47,13 @@ def main() -> None:
     from vln_hamt_tpu.env import ObsSpec, R2RNavEnv
 
     # bf16 compute + per-step remat: the fp32 no-remat scan stores
-    # O(T * B * L * 4D) activations and OOMs a single 16GB chip
+    # O(T * B * L * 4D) activations and OOMs a single 16GB chip.
+    # BENCH_REMAT=0 trades memory for a faster compile (ok at bs<=32 in
+    # bf16 on 16GB).
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
     cfg = get_preset("r2r").replace(
         train={"batch_size": BATCH_SIZE},
-        model={"dtype": "bfloat16", "remat": True},
+        model={"dtype": "bfloat16", "remat": remat},
     )
 
     world = make_synthetic_world(

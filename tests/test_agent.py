@@ -129,6 +129,18 @@ def test_save_load_roundtrip(setup, tmp_path):
     np.testing.assert_array_equal(np.asarray(before), np.asarray(restored))
 
 
+def test_orbax_checkpoint_roundtrip(setup, tmp_path):
+    cfg, env, agent = setup
+    path = str(tmp_path / "orbax_ckpt")
+    agent.save_orbax(path)
+    before = np.asarray(jax.tree.leaves(agent.state.params)[0]).copy()
+    # perturb, then restore
+    agent.state.params = jax.tree.map(lambda x: x + 1.0, agent.state.params)
+    step = agent.load_orbax(path)
+    restored = np.asarray(jax.tree.leaves(agent.state.params)[0])
+    np.testing.assert_array_equal(before, restored)
+
+
 def test_incremental_ndtw_matches_full(tiny_world):
     from vln_hamt_tpu.eval.metrics import IncrementalNDTW, dtw_scores
 

@@ -20,6 +20,7 @@ restructured for TPU:
 from __future__ import annotations
 
 import dataclasses
+import os
 import pickle
 from collections import defaultdict
 from typing import Any, Dict, List, Optional, Tuple
@@ -608,6 +609,37 @@ class HAMTAgent:
         return list(results.values())
 
     # ------------------------------------------------------ checkpoints
+    def save_orbax(self, path: str) -> None:
+        """Orbax checkpoint (durable, partially-restorable, the
+        production path; the pickle format below mirrors the
+        reference's single-file torch checkpoints)."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(
+            os.path.abspath(path),
+            {
+                "params": self.state.params,
+                "cparams": self.state.cparams,
+                "step": self.state.step,
+            },
+            force=True,
+        )
+
+    def load_orbax(self, path: str) -> int:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        blob = ckptr.restore(os.path.abspath(path))
+        st = self.state
+        params = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
+                              st.params, blob["params"])
+        cparams = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
+                               st.cparams, blob["cparams"])
+        self.state = TrainState(params, cparams, st.opt_state, st.copt_state,
+                                int(blob["step"]))
+        return int(blob["step"])
+
     def save(self, path: str) -> None:
         import flax.serialization as fser
 

@@ -96,10 +96,20 @@ class MetricsLogger:
     """JSONL metrics sink with per-phase timers and optional TB mirror."""
 
     def __init__(self, log_dir: str, filename: str = "metrics.jsonl"):
-        os.makedirs(log_dir, exist_ok=True)
-        self.path = os.path.join(log_dir, filename)
+        # rank-0 gating (the reference's NoOp on non-default ranks,
+        # pretrain_src/utils/misc.py:68-74)
+        try:
+            import jax
+
+            self.enabled = jax.process_index() == 0
+        except Exception:
+            self.enabled = True
         self.timers: Dict[str, Timer] = defaultdict(Timer)
         self._tb = None
+        self.path = os.path.join(log_dir, filename)
+        if not self.enabled:
+            return
+        os.makedirs(log_dir, exist_ok=True)
         try:  # optional mirror
             from tensorboardX import SummaryWriter  # type: ignore
 
@@ -111,6 +121,8 @@ class MetricsLogger:
         return self.timers[name]
 
     def log(self, step: int, scalars: Dict[str, Any], prefix: str = "") -> None:
+        if not self.enabled:
+            return
         rec = {"step": step, "time": time.time()}
         for k, v in scalars.items():
             key = f"{prefix}{k}"
