@@ -248,7 +248,10 @@ def valid(cfg: HAMTConfig, ckpt: str, val_envs: Dict[str, object],
     results = {}
     for name, env in val_envs.items():
         agent.env = env
-        preds = agent.eval_split(env)
+        if agent.supports_packed_eval:
+            preds = agent.eval_split_packed(env)
+        else:
+            preds = agent.eval_split(env)
         merged = [p for shard in host_allgather(preds) for p in shard]
         metrics, _ = env.eval_metrics(merged)
         results[name] = metrics

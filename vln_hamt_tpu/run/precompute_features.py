@@ -113,6 +113,11 @@ def main(argv=None):
                                       np.deg2rad(args.vfov_deg))
         total = len(vps)
 
+    # warm up the jitted ViT so the (minutes-long, one-time) XLA compile
+    # does not pollute the throughput measurement
+    warm = np.zeros((36 * args.panos_per_batch, h, w, 3), np.uint8)
+    jax.block_until_ready(feat.featurize_images(warm))
+
     writer = hdf5_writer(args.output_file)
     t0 = time.perf_counter()
     out = feat.extract(source, writer=writer)

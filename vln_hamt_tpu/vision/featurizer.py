@@ -33,12 +33,14 @@ class PanoramaFeaturizer:
         model: ViT,
         params,
         panos_per_batch: int = 2,
+        pipeline_depth: int = 3,
         mean: Tuple[float, float, float] = IMAGENET_MEAN,
         std: Tuple[float, float, float] = IMAGENET_STD,
     ):
         self.model = model
         self.params = params
         self.panos_per_batch = panos_per_batch
+        self.pipeline_depth = pipeline_depth
         mean = jnp.asarray(mean, jnp.float32)
         std = jnp.asarray(std, jnp.float32)
 
@@ -68,11 +70,37 @@ class PanoramaFeaturizer:
         panoramas per device call and double-buffers: the next batch is
         enqueued before the previous result is pulled to host.
         """
+        from queue import Queue
+        from threading import Thread
+
         out: Dict[str, np.ndarray] = {}
         pending = []  # [(keys, feats_dev, logits_dev)]
 
+        # background thread supplies panoramas so image IO / synthesis
+        # overlaps both the H2D uploads and the device compute
+        q: Queue = Queue(maxsize=2 * self.panos_per_batch)
+        _END = object()
+
+        def feed():
+            try:
+                for item in viewpoints:
+                    q.put(item)
+            finally:
+                q.put(_END)
+
+        Thread(target=feed, daemon=True).start()
+
+        def iter_source():
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                yield item
+
+        viewpoints = iter_source()
+
         def drain(block_all: bool = False):
-            while pending and (block_all or len(pending) > 1):
+            while pending and (block_all or len(pending) >= self.pipeline_depth):
                 keys, feats_dev, logits_dev = pending.pop(0)
                 feats = np.asarray(feats_dev)
                 logits = np.asarray(logits_dev)
