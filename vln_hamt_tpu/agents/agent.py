@@ -34,7 +34,7 @@ from ..configs import HAMTConfig
 from ..env.observation import IGNORE_ID, ObsBatch
 from ..env.r2r_env import R2RNavEnv
 from ..eval.metrics import IncrementalNDTW
-from ..models.hamt import Critic, HAMT, init_hamt_params
+from ..models.hamt import init_hamt_params
 from .losses import a2c_loss, il_loss
 from .rollout import (
     HIST0_KEY_SALT,

@@ -27,7 +27,7 @@ from ..configs import HAMTConfig
 from ..env.observation import IGNORE_ID, ObsBatch
 from ..models.hamt import HAMT
 from .agent import HAMTAgent
-from .losses import il_loss, masked_log_softmax
+from .losses import il_loss
 from .rollout import (
     FINAL_KEY_SALT,
     HIST0_KEY_SALT,

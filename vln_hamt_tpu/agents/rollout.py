@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -121,16 +121,16 @@ def build_episode_forward(
 ) -> Callable[..., EpisodeOutputs]:
     """Returns episode_forward(params, cparams, ep, rng, deterministic).
 
-    ``ep`` is a dict of device arrays:
+    ``ep`` is a dict of device arrays (compact observation schema; see
+    env/observation.py):
       txt_ids (B, L) int32, txt_mask (B, L) bool,
-      ob_img (B, T, N, Di), ob_ang (B, T, N, A), ob_nav (B, T, N) int32,
-      ob_mask (B, T, N) bool,
-      hist_img (B, T, Di), hist_pano_img (B, T, V, Di),
-      hist_pano_ang (B, T, V, A),
+      pano_feat (B, T, V, Di), view_index (B, T) int32,
+      cand_point (B, T, C) int32, cand_ang (B, T, C, A),
       actions (B, T) int32 (action slots TAKEN; STOP slot when ended),
       step_mask (B, T) bool,
-      final_ob_* (B, N, ...) optional — obs after the last action for the
-      RL bootstrap value; when absent, last_value = 0.
+      final_pano_feat / final_view_index / final_cand_point /
+      final_cand_ang optional — the obs after the last action for the RL
+      bootstrap value; when absent, last_value = 0.
     """
 
     expand_obs = make_expand_obs(36, cfg.angle_feat_size)

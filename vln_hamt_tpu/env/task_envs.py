@@ -19,8 +19,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..data.angle import angle_features
-from .observation import ObsBatch, ObsSpec
+from .observation import ObsBatch
 from .r2r_env import R2RNavEnv
 
 

@@ -26,14 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..configs import ModelConfig
-from .layers import (
-    ACT2FN,
-    Attention,
-    CrossModalLayer,
-    FeedForward,
-    TransformerStack,
-    extend_mask,
-)
+from .layers import CrossModalLayer, TransformerStack, extend_mask
 
 
 def _dtype_of(cfg: ModelConfig):

@@ -15,7 +15,7 @@ while parameters stay float32 (``param_dtype``).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,13 +9,11 @@ here (contrast: the reference's DDP wrapper + NCCL all_gather,
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..configs import HAMTConfig
 from ..env.observation import IGNORE_ID

@@ -20,7 +20,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from .tasks import PretrainBatcher
-from .trajectory_data import IGNORE_ID, NUM_VIEWS, TrajectoryDataset
+from .trajectory_data import NUM_VIEWS, TrajectoryDataset
 
 DEFAULT_IMAGE_SIZE = (248, 330)  # reference LMDB record shape (:20-22)
 

@@ -28,7 +28,7 @@ import numpy as np
 import optax
 
 from ..configs import ModelConfig
-from .model import HAMTPretrain, init_pretrain_params
+from .model import init_pretrain_params
 from .tasks import TASK_NAMES, PretrainBatcher
 
 

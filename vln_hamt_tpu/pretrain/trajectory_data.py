@@ -24,13 +24,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..data.angle import (
-    DEG30,
-    all_point_angle_feature,
-    angle_features,
-    view_elevation,
-    view_heading,
-)
+from ..data.angle import all_point_angle_feature, angle_features, view_heading
 from ..data.fixtures import SyntheticWorld
 from ..data.nav_graph import NavGraph
 from ..env.sim import snap_heading_to_view

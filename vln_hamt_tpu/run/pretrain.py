@@ -14,8 +14,6 @@ import os
 import pickle
 from typing import Optional
 
-import numpy as np
-
 from ..configs import ModelConfig, get_preset
 from ..data.fixtures import make_synthetic_world
 from ..data.nav_graph import load_nav_graphs
