@@ -139,6 +139,22 @@ def test_pretrain_all_tasks_train(pretrain_setup):
         assert np.isfinite(stats["loss"]), task
 
 
+def test_build_trajectories_matches_synthetic_derivation(pretrain_setup):
+    """The preprocessing CLI's record derivation must agree with the
+    fixture derivation (same closest-view pose logic)."""
+    from vln_hamt_tpu.run.build_trajectories import derive_record
+
+    world, recs, ds, _ = pretrain_setup
+    for item, rec in zip(world.instr_data, recs):
+        item2 = dict(item)
+        item2["instr_encodings"] = [item["instr_encoding"]]
+        got = derive_record(world.graphs[item["scan"]], item2)
+        np.testing.assert_array_equal(got["path_viewindex"], rec.path_viewindex)
+        np.testing.assert_array_equal(got["action_viewindex"], rec.action_viewindex)
+        np.testing.assert_allclose(got["rel_act_angles"], rec.rel_act_angles,
+                                   atol=1e-6)
+
+
 def test_scheduler_deterministic():
     from vln_hamt_tpu.pretrain.trainer import TaskScheduler
 

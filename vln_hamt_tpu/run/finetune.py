@@ -171,6 +171,7 @@ def train(
     log_every: Optional[int] = None,
     eval_first: bool = False,
     resume_file: Optional[str] = None,
+    no_cand_backtrack: bool = False,
 ) -> Dict[str, float]:
     """The main train/validate loop (main.py:86-222)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -221,9 +222,9 @@ def train(
         for name, env in val_envs.items():
             with logger.timer(f"eval_{name}"):
                 if agent.supports_packed_eval:
-                    preds = agent.eval_split_packed(env)
+                    preds = agent.eval_split_packed(env, no_cand_backtrack)
                 else:
-                    preds = agent.eval_split(env)
+                    preds = agent.eval_split(env, no_cand_backtrack)
                 merged = [p for shard in host_allgather(preds) for p in shard]
                 metrics, _ = env.eval_metrics(merged)
             logger.log(step, metrics, prefix=f"{name}/")
@@ -240,7 +241,8 @@ def train(
 
 
 def valid(cfg: HAMTConfig, ckpt: str, val_envs: Dict[str, object],
-          output_dir: str, submit: bool = False) -> Dict[str, Dict[str, float]]:
+          output_dir: str, submit: bool = False,
+          no_cand_backtrack: bool = False) -> Dict[str, Dict[str, float]]:
     """Stand-alone evaluation of a checkpoint (main.py:225-269)."""
     dataset = cfg.env.dataset
     agent = _AGENT_CLS[dataset](cfg, None, seed=cfg.train.seed)
@@ -249,9 +251,9 @@ def valid(cfg: HAMTConfig, ckpt: str, val_envs: Dict[str, object],
     for name, env in val_envs.items():
         agent.env = env
         if agent.supports_packed_eval:
-            preds = agent.eval_split_packed(env)
+            preds = agent.eval_split_packed(env, no_cand_backtrack)
         else:
-            preds = agent.eval_split(env)
+            preds = agent.eval_split(env, no_cand_backtrack)
         merged = [p for shard in host_allgather(preds) for p in shard]
         metrics, _ = env.eval_metrics(merged)
         results[name] = metrics
@@ -284,6 +286,9 @@ def parse_args(argv=None):
     p.add_argument("--aug", default=None)
     p.add_argument("--resume_file", default=None)
     p.add_argument("--eval_first", action="store_true")
+    p.add_argument("--no_cand_backtrack", action="store_true",
+                   help="mask already-visited candidates during greedy "
+                        "eval (reference parser.py flag)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     return p.parse_args(argv)
@@ -325,7 +330,8 @@ def main(argv=None):
 
     best = train(cfg, train_env, val_envs, args.output_dir,
                  iters=args.iters, log_every=args.log_every,
-                 eval_first=args.eval_first, resume_file=args.resume_file)
+                 eval_first=args.eval_first, resume_file=args.resume_file,
+                 no_cand_backtrack=args.no_cand_backtrack)
     print(json.dumps({"best": best}, default=float))
 
 
