@@ -291,6 +291,8 @@ def parse_args(argv=None):
                         "eval (reference parser.py flag)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the episode scan (O(1) activations)")
     return p.parse_args(argv)
 
 
@@ -305,6 +307,8 @@ def main(argv=None):
     cfg = cfg.replace(train=overrides)
     if args.bf16:
         cfg = cfg.replace(model={"dtype": "bfloat16"})
+    if args.remat:
+        cfg = cfg.replace(model={"remat": True})
     if args.tiny:
         cfg = cfg.replace(
             model={"hidden_size": 64, "num_attention_heads": 4,
