@@ -1,4 +1,5 @@
 from .mesh import (
+    reduce_dict_mean,
     make_mesh,
     param_partition_spec,
     shard_params,
@@ -16,6 +17,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "host_allgather",
+    "reduce_dict_mean",
     "init_distributed",
     "is_default_process",
 ]

@@ -122,6 +122,16 @@ def is_default_process() -> bool:
     return jax.process_index() == 0
 
 
+def reduce_dict_mean(scalars: Dict[str, float]) -> Dict[str, float]:
+    """Average a dict of host scalars across processes (the reference's
+    ``reduce_dict``, distributed.py:133-157). Single-process: identity."""
+    if jax.process_count() == 1:
+        return dict(scalars)
+    gathered = host_allgather(scalars)
+    keys = gathered[0].keys()
+    return {k: float(np.mean([g[k] for g in gathered])) for k in keys}
+
+
 def host_allgather(obj: Any) -> list:
     """Gather a python object from all hosts (single-host: [obj]).
 
