@@ -71,6 +71,32 @@ def test_obs_layout(world):
                                       ft[int(obs.view_index[i])])
 
 
+def test_cand_ob_type_masks_panorama(world):
+    """ob_type='cand' (agent_cmt.py:153-171 ablation): only candidates
+    and STOP are attendable; device and numpy expansions agree."""
+    import jax.numpy as jnp
+
+    from vln_hamt_tpu.agents.rollout import make_expand_obs
+    from vln_hamt_tpu.env.observation import expand_obs_np
+
+    env = make_env(world, batch_size=3)
+    obs = env.reset()
+    spec_cand = ObsSpec(max_candidates=env.spec.max_candidates,
+                        image_feat_size=env.spec.image_feat_size,
+                        ob_type="cand")
+    full = expand_obs_np(spec_cand, obs.pano_feat, obs.view_index,
+                         obs.cand_point, obs.cand_ang)
+    c = spec_cand.max_candidates
+    assert full.ob_mask[:, c + 1 :].sum() == 0
+    for i in range(3):
+        deg = int((obs.cand_point[i] >= 0).sum())
+        assert full.ob_mask[i].sum() == deg + 1
+    dev = make_expand_obs(36, spec_cand.angle_feat_size, "cand")(
+        jnp.asarray(obs.pano_feat), jnp.asarray(obs.view_index),
+        jnp.asarray(obs.cand_point), jnp.asarray(obs.cand_ang))
+    np.testing.assert_array_equal(np.asarray(dev["ob_mask"]), full.ob_mask)
+
+
 def test_device_expansion_matches_numpy(world):
     """expand_obs (jit) must equal expand_obs_np exactly."""
     import jax.numpy as jnp

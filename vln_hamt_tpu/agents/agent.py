@@ -129,8 +129,10 @@ class HAMTAgent:
             copt_state=self.ctx.init(cparams),
         )
 
-        self.episode_forward = build_episode_forward(self.model, self.critic, mcfg)
-        self.policy_step = build_policy_step(self.model, self.critic, mcfg)
+        self.episode_forward = build_episode_forward(
+            self.model, self.critic, mcfg, ob_type=ecfg.ob_type)
+        self.policy_step = build_policy_step(
+            self.model, self.critic, mcfg, ob_type=ecfg.ob_type)
         self.encode_text = build_text_encoder(self.model)
         self.init_history = build_init_history(self.model)
 

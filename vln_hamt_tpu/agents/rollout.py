@@ -64,7 +64,7 @@ def _hist_mask(hist_len: jnp.ndarray, h: int) -> jnp.ndarray:
     return jnp.arange(h)[None, :] < hist_len[:, None]
 
 
-def make_expand_obs(views: int, angle_feat_size: int):
+def make_expand_obs(views: int, angle_feat_size: int, ob_type: str = "pano"):
     """Device-side expansion of compact observations.
 
     Host ships only the (B, V, D) panorama feature matrix + candidate
@@ -103,8 +103,12 @@ def make_expand_obs(views: int, angle_feat_size: int):
 
         onehot = (idx[..., None] == jnp.arange(views)) & valid[..., None]
         claimed = onehot.any(axis=-2)
+        if ob_type == "cand":
+            pano_region = jnp.zeros(lead + (views,), bool)
+        else:
+            pano_region = ~claimed
         ob_mask = jnp.concatenate(
-            [valid, jnp.ones(lead + (1,), bool), ~claimed], axis=-1)
+            [valid, jnp.ones(lead + (1,), bool), pano_region], axis=-1)
 
         hist_img = jnp.take_along_axis(
             pano_feat, view_index[..., None, None], axis=-2).squeeze(-2)
@@ -117,7 +121,7 @@ def make_expand_obs(views: int, angle_feat_size: int):
 
 
 def build_episode_forward(
-    model: HAMT, critic: Critic, cfg: ModelConfig
+    model: HAMT, critic: Critic, cfg: ModelConfig, ob_type: str = "pano"
 ) -> Callable[..., EpisodeOutputs]:
     """Returns episode_forward(params, cparams, ep, rng, deterministic).
 
@@ -133,7 +137,7 @@ def build_episode_forward(
       bootstrap value; when absent, last_value = 0.
     """
 
-    expand_obs = make_expand_obs(36, cfg.angle_feat_size)
+    expand_obs = make_expand_obs(36, cfg.angle_feat_size, ob_type)
 
     def episode_forward(params, cparams, ep: Dict[str, jnp.ndarray], rng,
                         deterministic: bool = False) -> EpisodeOutputs:
@@ -226,7 +230,8 @@ def build_episode_forward(
 
 
 # ----------------------------------------------------------------------
-def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig):
+def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig,
+                      ob_type: str = "pano"):
     """Single interactive step, jitted with a donated history cache.
 
     policy_step(params, txt_embeds, txt_mask, hist_cache, hist_len, t,
@@ -238,7 +243,7 @@ def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig):
     no_cand_backtrack (agent_cmt.py:342-350).
     """
 
-    expand_obs = make_expand_obs(36, cfg.angle_feat_size)
+    expand_obs = make_expand_obs(36, cfg.angle_feat_size, ob_type)
 
     @partial(
         jax.jit,

@@ -93,6 +93,7 @@ class EnvConfig:
 
     dataset: str = "r2r"  # r2r | r2r_back | r2r_last | r4r | rxr | reverie | cvdn
     views: int = 36  # 12 headings x 3 elevations
+    ob_type: str = "pano"  # pano (candidates + full panorama context) | cand
     max_action_len: int = 15
     max_instr_len: int = 60
     max_candidates: int = 14  # graph max degree + 1 STOP slot added on top

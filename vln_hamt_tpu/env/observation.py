@@ -53,6 +53,11 @@ class ObsSpec:
     max_candidates: int = 14
     image_feat_size: int = 768
     angle_feat_size: int = 4
+    # 'pano': candidates + STOP + panorama context (agent_cmt.py:104-151)
+    # 'cand': candidates + STOP only (the reference's ob_type='cand'
+    #         ablation, agent_cmt.py:153-171) — same static layout, the
+    #         panorama region is attention-masked out
+    ob_type: str = "pano"
 
     @property
     def num_ob_tokens(self) -> int:
@@ -213,8 +218,12 @@ def expand_obs_np(
     # ones at clipped index 0)
     onehot = (idx[..., None] == np.arange(v)) & valid[..., None]
     claimed = onehot.any(axis=-2)
+    if spec.ob_type == "cand":
+        pano_region = np.zeros(lead + (v,), bool)
+    else:
+        pano_region = ~claimed
     ob_mask = np.concatenate(
-        [valid, np.ones(lead + (1,), bool), ~claimed], axis=-1
+        [valid, np.ones(lead + (1,), bool), pano_region], axis=-1
     )
 
     hist_img = np.take_along_axis(

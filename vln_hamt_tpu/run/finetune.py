@@ -75,7 +75,8 @@ def build_synthetic_dataset(cfg: HAMTConfig, seed: int = 0):
     max_deg = max(g.max_degree for g in world.graphs.values())
     cfg = cfg.replace(env={"max_candidates": max_deg})
     spec = ObsSpec(max_candidates=max_deg,
-                   image_feat_size=cfg.env.image_feat_size)
+                   image_feat_size=cfg.env.image_feat_size,
+                   ob_type=cfg.env.ob_type)
 
     env_kwargs = {}
     if dataset == "r2r_back":
@@ -134,7 +135,8 @@ def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
     max_deg = max(g.max_degree for g in graphs.values())
     cfg = cfg.replace(env={"max_candidates": max_deg})
     spec = ObsSpec(max_candidates=max_deg,
-                   image_feat_size=cfg.env.image_feat_size)
+                   image_feat_size=cfg.env.image_feat_size,
+                   ob_type=cfg.env.ob_type)
     env_cls = _ENV_CLS[dataset]
 
     import jax
