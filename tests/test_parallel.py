@@ -64,6 +64,60 @@ def test_sharded_matmul_correctness(mesh8):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_sharded_pretrain_step(mesh8):
+    """Proxy-task pretraining over the mesh: one MLM update, sharded
+    batch over 'data' and TP params over 'model', must produce finite
+    loss and match the replicated result within tolerance."""
+    import optax
+
+    from vln_hamt_tpu.configs import ModelConfig
+    from vln_hamt_tpu.data.fixtures import make_synthetic_world
+    from vln_hamt_tpu.parallel.train import build_sharded_pretrain_step
+    from vln_hamt_tpu.pretrain import (
+        PretrainBatcher,
+        TrajectoryDataset,
+        make_synthetic_trajectories,
+    )
+    from vln_hamt_tpu.pretrain.model import init_pretrain_params
+
+    cfg = ModelConfig(hidden_size=64, num_attention_heads=4,
+                      intermediate_size=128, num_l_layers=2, num_x_layers=2,
+                      num_h_pano_layers=1, image_feat_size=32,
+                      image_prob_size=16, max_position_embeddings=64,
+                      max_action_steps=16)
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=12, num_items=10,
+                                 feat_dim=48, seed=2)
+    ds = TrajectoryDataset(make_synthetic_trajectories(world), world.graphs,
+                           world.feat_db, image_feat_size=32,
+                           image_prob_size=16, max_txt_len=32, max_hist_len=6)
+    batcher = PretrainBatcher(ds, seed=0, vocab_mask_range=(1000, 2000))
+
+    model, params = init_pretrain_params(cfg, jax.random.key(0),
+                                         max_hist_len=6, instr_len=32)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    batch = {k: jnp.asarray(v) for k, v in batcher.batch("mlm", 8).items()}
+
+    # reference loss first: the sharded step donates its param buffers
+    def loss_fn(p):
+        l, _ = model.apply({"params": p}, batch, "mlm",
+                           deterministic=False,
+                           rngs={"dropout": jax.random.key(1)})
+        return l
+
+    loss_ref = float(loss_fn(params))
+
+    sp = shard_params(params, mesh8)
+    sb = shard_batch(batch, mesh8)
+    step = build_sharded_pretrain_step(model, tx, mesh8)
+    p2, o2, loss, aux = step(sp, shard_params(opt_state, mesh8), sb,
+                             jax.random.key(1), "mlm")
+    assert np.isfinite(float(loss))
+    del p2, o2, aux
+    np.testing.assert_allclose(float(loss), loss_ref, rtol=2e-3)
+
+
 def test_dryrun_multichip_entry():
     """The driver-facing multi-chip dryrun must run end to end."""
     import __graft_entry__ as graft

@@ -61,3 +61,30 @@ def build_sharded_il_train_step(
     # shard_batch place them on the mesh); jit propagates them and GSPMD
     # inserts the cross-replica collectives.
     return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+
+def build_sharded_pretrain_step(model, tx: optax.GradientTransformation,
+                                mesh: Mesh):
+    """Data/tensor-parallel proxy-task pretraining step.
+
+    The reference pretrains with DDP over 4 GPUs (README.md:53-60,
+    pretrain_src/utils/misc.py:52-65); here the same scaling is a
+    mesh-placement decision: batch leaves sharded over 'data', params
+    over the 'model' TP rules. ``task`` is static (one program per
+    task, as in the single-chip trainer).
+    """
+
+    def train_step(params, opt_state, batch, rng, task):
+        def loss_fn(p):
+            loss, aux = model.apply({"params": p}, batch, task,
+                                    deterministic=False,
+                                    rngs={"dropout": rng})
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return jax.jit(train_step, static_argnames=("task",),
+                   donate_argnums=(0, 1))
