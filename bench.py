@@ -68,6 +68,7 @@ def main() -> None:
         world.graphs, world.feat_db, world.instr_data, spec,
         batch_size=BATCH_SIZE, max_instr_len=cfg.env.max_instr_len,
         max_action_len=cfg.env.max_action_len, seed=0,
+        reuse_episode_buffers=True,
     )
     agent = HAMTAgent(cfg, env, seed=0)
 

@@ -92,6 +92,39 @@ def test_rl_replay_matches_rollout_logits(setup):
     assert np.all(replay[~finite] == -np.inf)
 
 
+def test_rl_replay_parity_with_pallas_dropout(tiny_world):
+    """In-kernel attention dropout (ops/attention.py) must preserve the
+    replay-parity invariant: the policy-step and scan-replay programs
+    derive identical per-module dropout seeds from the same step rng."""
+    cfg = tiny_cfg(tiny_world).replace(model={"use_pallas_attention": True})
+    assert cfg.model.attention_probs_dropout_prob > 0.0
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates,
+                   image_feat_size=cfg.env.image_feat_size)
+    env = R2RNavEnv(
+        tiny_world.graphs, tiny_world.feat_db, tiny_world.instr_data, spec,
+        batch_size=cfg.train.batch_size,
+        max_instr_len=cfg.env.max_instr_len,
+        max_action_len=cfg.env.max_action_len,
+        seed=0,
+    )
+    agent = HAMTAgent(cfg, env, seed=0)
+    rng = jax.random.PRNGKey(7)
+    _, extras = agent.interactive_rollout(
+        "sample", rng, deterministic=False, record_for_replay=True
+    )
+    out = agent.episode_forward(
+        agent.state.params, agent.state.cparams, extras["ep"], rng,
+        deterministic=False,
+    )
+    t_used = extras["rollout_logits"].shape[0]
+    replay = np.asarray(out.logits)[:t_used]
+    rollout = extras["rollout_logits"]
+    finite = np.isfinite(rollout)
+    np.testing.assert_allclose(replay[finite], rollout[finite],
+                               rtol=2e-4, atol=2e-4)
+    assert np.all(replay[~finite] == -np.inf)
+
+
 def test_eval_split_covers_all_items(setup):
     cfg, env, agent = setup
     preds = agent.eval_split()

@@ -42,6 +42,87 @@ def test_fused_attention_matches_reference():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_fused_attention_dropout():
+    """In-kernel attention dropout: right drop fraction, inverted-scale,
+    deterministic in the seed, and rate=0 stays exact."""
+    rng = np.random.default_rng(2)
+    b, h, lq, lk, dh = 2, 4, 16, 64, 32
+    q = rng.standard_normal((b, h, lq, dh)).astype(np.float32)
+    k = rng.standard_normal((b, h, lk, dh)).astype(np.float32)
+    v = np.ones((b, h, lk, dh), np.float32)
+    am = np.zeros((b, lk), np.float32)
+    rate = 0.25
+    args = (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(am))
+    base = np.asarray(fused_attention(*args, interpret=True))
+
+    s1 = jnp.asarray([1234], jnp.uint32)
+    d1 = np.asarray(fused_attention(*args, interpret=True,
+                                    dropout_rate=rate, dropout_seed=s1))
+    d1b = np.asarray(fused_attention(*args, interpret=True,
+                                     dropout_rate=rate, dropout_seed=s1))
+    d2 = np.asarray(fused_attention(*args, interpret=True, dropout_rate=rate,
+                                    dropout_seed=jnp.asarray([99], jnp.uint32)))
+    np.testing.assert_array_equal(d1, d1b)  # same seed -> bit-identical
+    assert not np.array_equal(d1, d2)  # seed matters
+    assert not np.array_equal(d1, base)
+    # v == 1 so output rows = sum of kept, rescaled probs; expectation
+    # preserving: mean over all rows stays ~1
+    np.testing.assert_allclose(d1.mean(), 1.0, atol=0.05)
+    # per-(b,h) masks must differ (position hash mixes batch and head)
+    assert not np.array_equal(d1[0, 0], d1[0, 1])
+    assert not np.array_equal(d1[0, 0], d1[1, 0])
+
+    # empirical drop fraction on the prob matrix itself: recover kept
+    # mask by comparing with uniform probs (all scores equal -> every
+    # kept slot has prob (1/lk)/(1-rate))
+    qz = jnp.zeros_like(args[0])
+    du = np.asarray(fused_attention(qz, jnp.zeros_like(args[1]), args[2],
+                                    args[3], interpret=True,
+                                    dropout_rate=rate, dropout_seed=s1))
+    # du rows = (#kept in row) * (1/lk)/(1-rate); mean over rows -> 1
+    frac_kept = du.mean() * (1 - rate)
+    assert abs(frac_kept - (1 - rate)) < 0.03
+
+    # rate=0 with a seed is exactly the no-dropout path
+    z = np.asarray(fused_attention(*args, interpret=True, dropout_rate=0.0,
+                                   dropout_seed=s1))
+    np.testing.assert_array_equal(z, base)
+
+
+def test_fused_attention_grads_match_reference():
+    """custom-VJP backward (XLA recompute with identical dropout bits)
+    must match differentiating the pure-XLA reference directly."""
+    from vln_hamt_tpu.ops.attention import _attention_reference
+
+    rng = np.random.default_rng(3)
+    b, h, lq, lk, dh = 2, 4, 8, 16, 32
+    q = jnp.asarray(rng.standard_normal((b, h, lq, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, lk, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, lk, dh)), jnp.float32)
+    m = jnp.asarray(np.where(rng.random((b, lk)) < 0.8, 0.0, -10000.0),
+                    jnp.float32)
+    seed = jnp.asarray([77], jnp.uint32)
+    for rate in (0.0, 0.3):
+        f = lambda q, k, v: (fused_attention(
+            q, k, v, m, interpret=True, dropout_rate=rate,
+            dropout_seed=seed) ** 2).sum()
+        r = lambda q, k, v: (_attention_reference(
+            q, k, v, m, seed, rate) ** 2).sum()
+        np.testing.assert_allclose(float(f(q, k, v)), float(r(q, k, v)),
+                                   rtol=1e-5)
+        gf = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(r, argnums=(0, 1, 2))(q, k, v)
+        for a, bb in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_fused_attention_dropout_requires_seed():
+    q = jnp.zeros((1, 1, 4, 8)); m = jnp.zeros((1, 4))
+    with pytest.raises(ValueError, match="dropout_seed"):
+        fused_attention(q, q, q, m, interpret=True, dropout_rate=0.1)
+
+
 def test_pallas_attention_in_model_matches_xla():
     """Flag-gated kernel must reproduce the XLA attention numerics."""
     import dataclasses

@@ -262,17 +262,26 @@ def make_obs_batch(
     features: Sequence[np.ndarray],  # per-slot (V, D) pano features
     goals: Sequence[int],
     teacher_nodes: Sequence[int],
+    pano_out: np.ndarray = None,  # optional (B, V, D) fp32 destination
 ) -> ObsBatch:
     b = len(features)
     c = spec.max_candidates
     a = spec.angle_feat_size
 
-    pano_feat = np.stack(features).astype(np.float32)  # (B, V, D)
-    view_index = sim.view_index[:b].astype(np.int32).copy()
+    if pano_out is not None:
+        # write features straight into a caller-owned episode buffer
+        # (avoids the extra full-batch copy in episode assembly)
+        np.stack(features, out=pano_out)
+        pano_feat = pano_out
+    else:
+        pano_feat = np.stack(features).astype(np.float32, copy=False)
+    view_index = sim.view_index[:b].astype(np.int32, copy=True)
     node = sim.node[:b].copy()
     cand_node = np.full((b, c), -1, np.int32)
     cand_point = np.full((b, c), -1, np.int32)
-    cand_ang = np.zeros((b, c, a), np.float32)
+    cand_head = np.zeros((b, c), np.float32)
+    cand_elev = np.zeros((b, c), np.float32)
+    cand_valid = np.zeros((b, c), bool)
     teacher = np.zeros((b,), np.int32)
     dist_to_goal = np.zeros((b,), np.float32)
 
@@ -288,14 +297,18 @@ def make_obs_batch(
             )
         cand_node[i, :deg] = nbrs[valid]
         cand_point[i, :deg] = g.nbr_point_id[u][valid]
-        base_heading = float(view_heading(view_index[i]))
-        cand_ang[i, :deg] = angle_features(
-            g.nbr_heading[u][valid] - base_heading,
-            g.nbr_elevation[u][valid], a,
-        )
+        cand_head[i, :deg] = g.nbr_heading[u][valid]
+        cand_elev[i, :deg] = g.nbr_elevation[u][valid]
+        cand_valid[i, :deg] = True
         teacher[i] = teacher_slot(cand_node[i], spec.stop_slot,
                                   int(teacher_nodes[i]), u)
         dist_to_goal[i] = g.dist[u, goals[i]]
+
+    # one vectorized trig pass for the whole batch (the per-slot loop was
+    # the host-assembly hot spot: B small np.stack calls per observe)
+    base_heading = view_heading(view_index).astype(np.float32)
+    cand_ang = angle_features(cand_head - base_heading[:, None], cand_elev, a)
+    cand_ang[~cand_valid] = 0.0
 
     return ObsBatch(
         spec=spec, pano_feat=pano_feat, view_index=view_index,

@@ -40,6 +40,7 @@ class R2RNavEnv:
         name: Optional[str] = None,
         sel_data_idxs: Optional[Tuple[int, int]] = None,
         error_margin: float = 3.0,
+        reuse_episode_buffers: bool = False,
     ):
         self.graphs = graphs
         self.feat_db = feat_db
@@ -49,6 +50,15 @@ class R2RNavEnv:
         self.max_action_len = max_action_len
         self.name = name
         self.error_margin = error_margin
+        # Perf knob for the training loop: recycle the big (B,T,V,D)
+        # pano-feature episode buffer through a 4-deep ring instead of
+        # allocating 50+ MB per episode (kernel page-zeroing of a fresh
+        # buffer costs ~50 ms/iter at B=32). Safe when every EpisodeBatch
+        # is consumed (device_put) within 3 subsequent collect calls;
+        # leave off for code that holds episodes longer.
+        self.reuse_episode_buffers = reuse_episode_buffers
+        self._pano_ring: Dict[tuple, list] = {}
+        self._pano_ring_idx = 0
 
         self.data = list(instr_data)
         # ground truth over the FULL split, before rank sharding
@@ -108,7 +118,7 @@ class R2RNavEnv:
             return g.index(path[self._t + 1])
         return int(self.sim.node[i])
 
-    def _observe(self) -> ObsBatch:
+    def _observe(self, pano_out: np.ndarray = None) -> ObsBatch:
         b = len(self.batch)
         feats = [
             self.feat_db.get(self.batch[i]["scan"],
@@ -117,7 +127,8 @@ class R2RNavEnv:
         ]
         goals = [self._item_goal(it) for it in self.batch]
         teacher_nodes = [self._teacher_node(i) for i in range(b)]
-        return make_obs_batch(self.spec, self.sim, feats, goals, teacher_nodes)
+        return make_obs_batch(self.spec, self.sim, feats, goals, teacher_nodes,
+                              pano_out=pano_out)
 
     def load_item(self, slot: int, item: dict) -> None:
         """Swap one slot's episode in place (continuation-packed eval)."""
@@ -135,7 +146,8 @@ class R2RNavEnv:
         self._t = 0
         return self._observe()
 
-    def step(self, actions: np.ndarray, obs: ObsBatch) -> ObsBatch:
+    def step(self, actions: np.ndarray, obs: ObsBatch,
+             pano_out: np.ndarray = None) -> ObsBatch:
         """Apply action slots; -1 or the STOP slot is a no-op.
 
         ``actions`` index into ``obs.cand_node``/``obs.cand_view``.
@@ -149,7 +161,7 @@ class R2RNavEnv:
             assert tgt >= 0, f"slot {i}: padded candidate {a} selected"
             self.sim.move(i, tgt, int(obs.cand_view[i, a]))
         self._t += 1
-        return self._observe()
+        return self._observe(pano_out=pano_out)
 
     # ------------------------------------------------------------------
     def txt_batch(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -176,15 +188,36 @@ class R2RNavEnv:
         b = len(self.batch)
         t_max = self.max_action_len
         stop = self.spec.stop_slot
+        c = self.spec.max_candidates
+        a_dim = self.spec.angle_feat_size
+        v, d = obs.pano_feat.shape[1:]
 
-        obs_list: List[ObsBatch] = []
+        # preallocated episode buffers; env.step writes pano features
+        # straight into ep_pano[:, t] (no per-step ObsBatch list + final
+        # np.stack re-copy of the 50+ MB feature tensor)
+        if self.reuse_episode_buffers:
+            ring = self._pano_ring.setdefault((b, t_max, v, d), [None] * 4)
+            self._pano_ring_idx = (self._pano_ring_idx + 1) % 4
+            if ring[self._pano_ring_idx] is None:
+                ring[self._pano_ring_idx] = np.empty((b, t_max, v, d),
+                                                     np.float32)
+            ep_pano = ring[self._pano_ring_idx]
+        else:
+            ep_pano = np.empty((b, t_max, v, d), np.float32)
+        ep_view = np.empty((b, t_max), np.int32)
+        ep_cpoint = np.empty((b, t_max, c), np.int32)
+        ep_cang = np.empty((b, t_max, c, a_dim), np.float32)
         actions = np.full((b, t_max), stop, dtype=np.int32)
         teacher = np.full((b, t_max), IGNORE_ID, dtype=np.int32)
         step_mask = np.zeros((b, t_max), dtype=bool)
         ended = np.zeros((b,), dtype=bool)
 
+        ep_pano[:, 0] = obs.pano_feat
+        t_done = t_max  # first step index NOT recorded by the loop body
         for t in range(t_max):
-            obs_list.append(obs)
+            ep_view[:, t] = obs.view_index
+            ep_cpoint[:, t] = obs.cand_point
+            ep_cang[:, t] = obs.cand_ang
             a_t = obs.teacher.copy() if policy is None else policy(t, obs, ended)
             live = ~ended
             step_mask[:, t] = live
@@ -194,28 +227,31 @@ class R2RNavEnv:
             env_actions = np.where(live & (a_t != stop), a_t, -1)
             ended |= a_t == stop
             if t + 1 < t_max:
-                obs = self.step(env_actions, obs)
+                obs = self.step(env_actions, obs, pano_out=ep_pano[:, t + 1])
                 if ended.all():
-                    # fill remaining steps with copies of the last obs
-                    # (masked out) to keep fixed shapes
-                    for _ in range(t + 1, t_max):
-                        obs_list.append(obs)
+                    t_done = t + 1
                     break
-        while len(obs_list) < t_max:
-            obs_list.append(obs_list[-1])
+
+        if t_done < t_max:
+            # remaining steps are masked out; fill with copies of the
+            # final obs to keep fixed shapes (pano at t_done was already
+            # written by the last env.step)
+            ep_view[:, t_done] = obs.view_index
+            ep_cpoint[:, t_done] = obs.cand_point
+            ep_cang[:, t_done] = obs.cand_ang
+            ep_pano[:, t_done + 1 :] = ep_pano[:, t_done : t_done + 1]
+            ep_view[:, t_done + 1 :] = ep_view[:, t_done : t_done + 1]
+            ep_cpoint[:, t_done + 1 :] = ep_cpoint[:, t_done : t_done + 1]
+            ep_cang[:, t_done + 1 :] = ep_cang[:, t_done : t_done + 1]
 
         txt_ids, txt_mask = self.txt_batch()
-
-        def stack(attr: str) -> np.ndarray:
-            return np.stack([getattr(o, attr) for o in obs_list], axis=1)
-
         return EpisodeBatch(
             txt_ids=txt_ids,
             txt_mask=txt_mask,
-            pano_feat=stack("pano_feat"),
-            view_index=stack("view_index"),
-            cand_point=stack("cand_point"),
-            cand_ang=stack("cand_ang"),
+            pano_feat=ep_pano,
+            view_index=ep_view,
+            cand_point=ep_cpoint,
+            cand_ang=ep_cang,
             actions=actions,
             step_mask=step_mask,
             teacher=teacher,

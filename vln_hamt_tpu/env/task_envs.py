@@ -37,8 +37,8 @@ class R2RBackNavEnv(R2RNavEnv):
             x["instr_id"]: x["midstop"] for x in self.data
         }
 
-    def _observe(self) -> ObsBatch:
-        obs = super()._observe()
+    def _observe(self, pano_out: np.ndarray = None) -> ObsBatch:
+        obs = super()._observe(pano_out=pano_out)
         dist_to_mid = np.zeros_like(obs.dist_to_goal)
         for i, item in enumerate(self.batch):
             g = self.graphs[item["scan"]]
@@ -168,8 +168,8 @@ class ReverieNavEnv(R2RNavEnv):
             n += 1
         return n
 
-    def _observe(self) -> ObsBatch:
-        obs = super()._observe()
+    def _observe(self, pano_out: np.ndarray = None) -> ObsBatch:
+        obs = super()._observe(pano_out=pano_out)
         b = len(self.batch)
         k = self.max_objects
         a = self.spec.angle_feat_size
@@ -310,8 +310,8 @@ class CVDNNavEnv(R2RNavEnv):
             item["heading"] = item.get("start_heading", 0.0)
         self.batch = batch
 
-    def _observe(self) -> ObsBatch:
-        obs = super()._observe()
+    def _observe(self, pano_out: np.ndarray = None) -> ObsBatch:
+        obs = super()._observe(pano_out=pano_out)
         # multi-goal distance: min over end panos (cvdn/env.py:80-87)
         for i, item in enumerate(self.batch):
             g = self.graphs[item["scan"]]

@@ -68,15 +68,21 @@ class MultiHeadAttention(nn.Module):
         v = dense("value")(context).reshape(*context.shape[:-1], h, hd)
 
         # Pallas fused path: VMEM-resident QK^T->mask->softmax->V in one
-        # kernel (ops/attention.py). Attention-prob dropout is identity
-        # in that regime, so only take it when dropout is off.
-        use_pallas = (
-            cfg.use_pallas_attention
-            and (deterministic or cfg.attention_probs_dropout_prob == 0.0)
-        )
-        if use_pallas:
+        # kernel (ops/attention.py). Attention-prob dropout runs inside
+        # the kernel (counter-based, seeded from this module's flax
+        # 'dropout' stream) so the fused path covers training too.
+        if cfg.use_pallas_attention:
             from ..ops.attention import fused_attention
 
+            rate = (0.0 if deterministic
+                    else cfg.attention_probs_dropout_prob)
+            seed = None
+            if rate > 0.0:
+                # same per-module, per-step stream the XLA nn.Dropout
+                # would consume -> rollout/replay programs derive the
+                # same seed and stay bit-identical.
+                seed = jax.random.bits(self.make_rng("dropout"), (1,),
+                                       jnp.uint32)
             if attn_mask is None:
                 add_mask = jnp.zeros((hidden.shape[0], context.shape[1]),
                                      jnp.float32)
@@ -85,6 +91,7 @@ class MultiHeadAttention(nn.Module):
             out = fused_attention(
                 jnp.moveaxis(q, -2, 1), jnp.moveaxis(k, -2, 1),
                 jnp.moveaxis(v, -2, 1), add_mask,
+                dropout_rate=rate, dropout_seed=seed,
             )
             out = jnp.moveaxis(out, 1, -2).astype(self.dtype)
             return out.reshape(*hidden.shape[:-1], h * hd)

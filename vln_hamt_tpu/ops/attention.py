@@ -34,7 +34,24 @@ def pallas_available() -> bool:
     return _HAS_PLTPU and jax.default_backend() == "tpu"
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
+def _splitmix32(x: jnp.ndarray) -> jnp.ndarray:
+    """Stateless 32-bit finalizer (splitmix/murmur3 style avalanche).
+
+    Counter-based RNG for in-kernel dropout: unlike ``pltpu.prng_*`` it
+    lowers on every backend (TPU hardware AND interpret mode), and being
+    a pure function of (seed, position) it is bit-identical between the
+    rollout and replay programs — which is what RL replay parity needs.
+    """
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _attn_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                 scale, dropout_rate):
     q = q_ref[0].astype(jnp.float32)  # (Lq, Dh)
     k = k_ref[0].astype(jnp.float32)  # (Lk, Dh)
     v = v_ref[0].astype(jnp.float32)
@@ -46,7 +63,121 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
     scores = scores - jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    if dropout_rate > 0.0:
+        lq, lk = p.shape
+        i = pl.program_id(0).astype(jnp.uint32)  # batch
+        j = pl.program_id(1).astype(jnp.uint32)  # head
+        row = jax.lax.broadcasted_iota(jnp.uint32, (lq, lk), 0)
+        col = jax.lax.broadcasted_iota(jnp.uint32, (lq, lk), 1)
+        idx = row * jnp.uint32(lk) + col
+        key = (seed_ref[0].astype(jnp.uint32)
+               + i * jnp.uint32(0x9E3779B1)
+               + j * jnp.uint32(0x85EBCA77))
+        bits = _splitmix32(key ^ _splitmix32(idx))
+        thresh = jnp.uint32(min(int(dropout_rate * 4294967296.0), 4294967295))
+        keep = bits >= thresh
+        p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+
     o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _dropout_keep_mask(seed: jnp.ndarray, b: int, h: int, lq: int, lk: int,
+                       rate: float) -> jnp.ndarray:
+    """(B, H, Lq, Lk) keep mask, bit-identical to the in-kernel hash.
+
+    Used by the custom-VJP backward to recompute the exact dropout
+    pattern the forward kernel applied.
+    """
+    i = jnp.arange(b, dtype=jnp.uint32)[:, None, None, None]
+    j = jnp.arange(h, dtype=jnp.uint32)[None, :, None, None]
+    row = jnp.arange(lq, dtype=jnp.uint32)[None, None, :, None]
+    col = jnp.arange(lk, dtype=jnp.uint32)[None, None, None, :]
+    idx = row * jnp.uint32(lk) + col
+    key = (seed.reshape(()).astype(jnp.uint32)
+           + i * jnp.uint32(0x9E3779B1)
+           + j * jnp.uint32(0x85EBCA77))
+    bits = _splitmix32(key ^ _splitmix32(idx))
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return bits >= thresh
+
+
+def _attention_reference(q, k, v, additive_mask, seed, rate: float):
+    """Plain-XLA forward with the same math (fp32, same dropout bits).
+
+    The custom-VJP backward differentiates this instead of the pallas
+    kernel (pallas_call has no reverse-mode rule); under training remat
+    the recompute cost matches what ``jax.checkpoint`` pays anyway.
+    """
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / (dh ** 0.5)
+    scores = scores + additive_mask[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(scores, axis=-1)
+    if rate > 0.0:
+        keep = _dropout_keep_mask(seed, b, h, lq, lk, rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_attention_core(rate: float, interpret: bool, seed, q, k, v,
+                          additive_mask):
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+    on_tpu = _HAS_PLTPU and not interpret
+    grid = (b, h)
+    bspec = lambda l: pl.BlockSpec(
+        (1, l, dh), lambda i, j: (i * h + j, 0, 0),
+        **({"memory_space": pltpu.VMEM} if on_tpu else {}),
+    )
+    mspec = pl.BlockSpec(
+        (1, 1, lk), lambda i, j: (i, 0, 0),
+        **({"memory_space": pltpu.VMEM} if on_tpu else {}),
+    )
+    sspec = pl.BlockSpec(
+        (1,), lambda i, j: (0,),
+        **({"memory_space": pltpu.SMEM} if on_tpu else {}),
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, dropout_rate=rate),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, dh), jnp.float32),
+        grid=grid,
+        in_specs=[sspec, bspec(lq), bspec(lk), bspec(lk), mspec],
+        out_specs=bspec(lq),
+        interpret=interpret,
+    )(
+        seed.reshape(1).astype(jnp.int32),
+        q.reshape(b * h, lq, dh),
+        k.reshape(b * h, lk, dh),
+        v.reshape(b * h, lk, dh),
+        additive_mask.reshape(b, 1, lk),
+    )
+    return out.reshape(b, h, lq, dh)
+
+
+def _core_fwd(rate, interpret, seed, q, k, v, additive_mask):
+    out = _fused_attention_core(rate, interpret, seed, q, k, v, additive_mask)
+    return out, (seed, q, k, v, additive_mask)
+
+
+def _core_bwd(rate, interpret, res, g):
+    import numpy as np
+
+    seed, q, k, v, additive_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, m_: _attention_reference(q_, k_, v_, m_, seed,
+                                                    rate),
+        q, k, v, additive_mask,
+    )
+    dq, dk, dv, dm = vjp(g)
+    ct_seed = np.zeros(seed.shape, jax.dtypes.float0)
+    return ct_seed, dq, dk, dv, dm
+
+
+_fused_attention_core.defvjp(_core_fwd, _core_bwd)
 
 
 def fused_attention(
@@ -55,36 +186,22 @@ def fused_attention(
     v: jnp.ndarray,  # (B, H, Lk, Dh)
     additive_mask: jnp.ndarray,  # (B, Lk) additive (0 keep / -1e4 drop)
     interpret: bool | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: jnp.ndarray | None = None,  # (1,) int32/uint32
 ) -> jnp.ndarray:
-    """Returns (B, H, Lq, Dh) float32."""
-    b, h, lq, dh = q.shape
-    lk = k.shape[2]
-    scale = 1.0 / (dh ** 0.5)
+    """Returns (B, H, Lq, Dh) float32.
+
+    With ``dropout_rate > 0`` the kernel applies attention-prob dropout
+    in-register (counter-based hash of (seed, batch, head, position)),
+    so the fused path stays usable for training; ``dropout_seed`` must
+    then be provided and varies per call/step. Differentiable: backward
+    recomputes through an XLA reference with the identical dropout bits.
+    """
     if interpret is None:
         interpret = not pallas_available()
-
-    mask4 = additive_mask[:, None, None, :]  # (B, 1, 1, Lk)
-
-    grid = (b, h)
-    bspec = lambda l: pl.BlockSpec(
-        (1, l, dh), lambda i, j: (i * h + j, 0, 0),
-        **({"memory_space": pltpu.VMEM} if _HAS_PLTPU and not interpret else {}),
-    )
-    mspec = pl.BlockSpec(
-        (1, 1, lk), lambda i, j: (i, 0, 0),
-        **({"memory_space": pltpu.VMEM} if _HAS_PLTPU and not interpret else {}),
-    )
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq, dh), jnp.float32),
-        grid=grid,
-        in_specs=[bspec(lq), bspec(lk), bspec(lk), mspec],
-        out_specs=bspec(lq),
-        interpret=interpret,
-    )(
-        q.reshape(b * h, lq, dh),
-        k.reshape(b * h, lk, dh),
-        v.reshape(b * h, lk, dh),
-        additive_mask.reshape(b, 1, lk),
-    )
-    return out.reshape(b, h, lq, dh)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1,), jnp.int32)
+    return _fused_attention_core(float(dropout_rate), bool(interpret),
+                                 dropout_seed, q, k, v, additive_mask)

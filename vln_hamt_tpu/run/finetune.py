@@ -104,7 +104,9 @@ def build_synthetic_dataset(cfg: HAMTConfig, seed: int = 0):
             batch_size=cfg.train.batch_size,
             max_instr_len=cfg.env.max_instr_len,
             max_action_len=cfg.env.max_action_len,
-            seed=cfg.train.seed, name=name, **env_kwargs,
+            seed=cfg.train.seed, name=name,
+            reuse_episode_buffers=(name in ("train", "aug")),
+            **env_kwargs,
         )
 
     train_env = make_env(items[:n_train], "train")
@@ -152,6 +154,7 @@ def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
             seed=cfg.train.seed + (rank if name == "train" else 0),
             name=name,
             sel_data_idxs=(rank, n_proc) if (shard and n_proc > 1) else None,
+            reuse_episode_buffers=(name in ("train", "aug")),
         )
 
     train_env = make_env(instr["train"], "train", shard=False)
