@@ -51,9 +51,13 @@ def main() -> None:
     # BENCH_REMAT=0 trades memory for a faster compile (ok at bs<=32 in
     # bf16 on 16GB).
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    # BENCH_PALLAS_ATTN=1 routes attention through the fused pallas
+    # kernel (ops/attention.py), incl. in-kernel dropout for training.
+    pallas_attn = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
     cfg = get_preset("r2r").replace(
         train={"batch_size": BATCH_SIZE},
-        model={"dtype": "bfloat16", "remat": remat},
+        model={"dtype": "bfloat16", "remat": remat,
+               "use_pallas_attention": pallas_attn},
     )
 
     world = make_synthetic_world(

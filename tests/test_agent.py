@@ -142,11 +142,16 @@ def test_packed_eval_matches_lockstep(setup):
     lock = {p["instr_id"]: [x[0] for x in p["trajectory"]]
             for p in agent.eval_split()}
     packed = {p["instr_id"]: [x[0] for x in p["trajectory"]]
-              for p in agent.eval_split_packed()}
+              for p in agent.eval_split_packed()}  # pipeline=2 default
+    assert len(env.data) >= 2 * env.batch_size, "pipeline must engage"
     assert set(lock) == set(packed)
     mismatches = {k for k in lock if lock[k] != packed[k]}
     assert not mismatches, (mismatches, {k: (lock[k], packed[k])
                                          for k in list(mismatches)[:2]})
+    # single-group path must agree too
+    packed1 = {p["instr_id"]: [x[0] for x in p["trajectory"]]
+               for p in agent.eval_split_packed(pipeline=1)}
+    assert packed1 == packed
 
 
 def test_save_load_roundtrip(setup, tmp_path):

@@ -68,6 +68,13 @@ def test_cvdn_agent(vworld):
     preds = agent.eval_split()
     agg, _ = env.eval_metrics(preds)
     assert "gp" in agg and np.isfinite(agg["gp"])
+    # packed eval must handle raw NDH items (no precomputed "path";
+    # CVDNNavEnv.load_item derives it) and match lock-step trajectories
+    packed = {p["instr_id"]: [x[0] for x in p["trajectory"]]
+              for p in agent.eval_split_packed()}
+    lock = {p["instr_id"]: [x[0] for x in p["trajectory"]] for p in preds}
+    assert set(packed) == set(lock)
+    assert packed == lock
 
 
 @pytest.mark.slow

@@ -494,16 +494,25 @@ class HAMTAgent:
         return out
 
     def eval_split_packed(self, env: Optional[R2RNavEnv] = None,
-                          no_cand_backtrack: bool = False) -> List[dict]:
-        """Continuation-packed greedy evaluation.
+                          no_cand_backtrack: bool = False,
+                          pipeline: int = 4) -> List[dict]:
+        """Continuation-packed greedy evaluation, software-pipelined.
 
-        The lock-step evaluator idles a batch slot once its episode
-        stops and only retires a batch when ALL episodes stop. Here a
-        finished slot immediately loads the next pending item: its
-        history-cache row is reset on device, its text row re-encoded,
-        and its per-slot step counter restarts — so the device stays at
-        full batch occupancy for the whole split. Semantics match
-        :meth:`eval_split` (each item predicted exactly once).
+        Packing: the lock-step evaluator idles a batch slot once its
+        episode stops and only retires a batch when ALL episodes stop.
+        Here a finished slot immediately loads the next pending item:
+        its history-cache row is reset on device, its text row
+        re-encoded, and its per-slot step counter restarts — so the
+        device stays at full batch occupancy for the whole split.
+
+        Pipelining: with ``pipeline`` > 1 the split is partitioned into
+        that many independent groups, each with its own env/history
+        state. Dispatching every group's policy step before blocking on
+        any group's action overlaps one group's host env step (and the
+        action download latency) with another group's device compute.
+        Per-slot transformer rows are batch-independent, so results are
+        identical to ``pipeline=1``. Semantics match :meth:`eval_split`
+        (each item predicted exactly once).
         """
         from .rollout import build_slot_reset
 
@@ -514,100 +523,28 @@ class HAMTAgent:
 
         items = list(env.data)
         b = env.batch_size
-        t_max = env.max_action_len
-        stop = self.stop_slot
-        fd = self._feat_dtype()
+        # each group needs at least a full batch of items to be useful;
+        # measured sweet spot on v5e-over-tunnel is 4 groups (BASELINE.md)
+        n_groups = max(1, min(int(pipeline), len(items) // b))
+        groups = []
+        for k in range(n_groups):
+            part = items[k::n_groups]
+            genv = env if k == 0 else env.clone_shell(part)
+            groups.append(_PackedEvalGroup(self, genv, part,
+                                           no_cand_backtrack))
 
-        # initial fill (pad by cycling when the split is tiny)
-        first = [items[i % len(items)] for i in range(b)]
-        env.batch = list(first)
-        env.sim.new_episodes(
-            [it["scan"] for it in first],
-            [it["path"][0] for it in first],
-            [it.get("heading", 0.0) for it in first],
-        )
-        pending = list(items[b:])
-        pending.reverse()  # pop() from the front of the split order
-
-        txt_ids, txt_mask = env.txt_batch()
-        rng = self._next_rng()
-        txt_embeds = self.encode_text(self.state.params,
-                                      jnp.asarray(txt_ids),
-                                      jnp.asarray(txt_mask),
-                                      rng, True)
-        hist_cache = jnp.zeros(
-            (b, t_max + 1, self.cfg.model.hidden_size),
-            jnp.bfloat16 if self.cfg.model.dtype == "bfloat16" else jnp.float32)
-        hist_cache, hist_len = self._slot_reset(
-            self.state.params, hist_cache, jnp.ones((b,), jnp.int32),
-            jnp.ones((b,), bool), rng)
-
-        t_vec = np.zeros((b,), np.int32)
-        active = np.ones((b,), bool)
-        traj = [[self._pose_tuple(env, i)] for i in range(b)]
-        visited = [set([int(env.sim.node[i])]) for i in range(b)]
-        results: Dict[str, dict] = {}
-
-        obs = env._observe()
-        while active.any():
-            forbid = np.zeros((b, self.num_ob_tokens), bool)
-            if no_cand_backtrack:
-                for i in range(b):
-                    for c in range(stop):
-                        cn = int(obs.cand_node[i, c])
-                        if cn >= 0 and cn in visited[i]:
-                            forbid[i, c] = True
-            a_dev, _, _, hist_cache, hist_len = self.policy_step(
-                self.state.params, self.state.cparams, txt_embeds,
-                jnp.asarray(txt_mask), hist_cache, hist_len,
-                jnp.asarray(np.minimum(t_vec, t_max - 1)),
-                jnp.asarray(obs.pano_feat, fd), jnp.asarray(obs.view_index),
-                jnp.asarray(obs.cand_point), jnp.asarray(obs.cand_ang),
-                jnp.asarray(active), jnp.asarray(forbid),
-                jnp.zeros((b,), jnp.int32), self._next_rng(),
-                mode="argmax", deterministic=True,
-            )
-            a_t = np.asarray(a_dev)
-
-            env_actions = np.where(active & (a_t != stop), a_t, -1)
-            obs_after = env.step(env_actions, obs)
-            reset_mask = np.zeros((b,), bool)
-            for i in range(b):
-                if not active[i]:
-                    continue
-                if env_actions[i] >= 0:
-                    traj[i].append(self._pose_tuple(env, i))
-                    visited[i].add(int(env.sim.node[i]))
-                    t_vec[i] += 1
-                done = a_t[i] == stop or t_vec[i] >= t_max
-                if not done:
-                    continue
-                instr_id = env.batch[i]["instr_id"]
-                if instr_id not in results:
-                    results[instr_id] = {"instr_id": instr_id,
-                                         "trajectory": traj[i]}
-                if pending:
-                    env.load_item(i, pending.pop())
-                    traj[i] = [self._pose_tuple(env, i)]
-                    visited[i] = set([int(env.sim.node[i])])
-                    t_vec[i] = 0
-                    reset_mask[i] = True
-                else:
-                    active[i] = False
-            if reset_mask.any():
-                hist_cache, hist_len = self._slot_reset(
-                    self.state.params, hist_cache, hist_len,
-                    jnp.asarray(reset_mask), rng)
-                txt_ids, txt_mask = env.txt_batch()
-                txt_embeds = self.encode_text(
-                    self.state.params, jnp.asarray(txt_ids),
-                    jnp.asarray(txt_mask), rng, True)
-                obs = env._observe()
-            else:
-                obs = obs_after
+        while any(g.active.any() for g in groups):
+            for g in groups:  # enqueue device work for every group...
+                if g.active.any():
+                    g.dispatch()
+            for g in groups:  # ...then block + host-step one at a time
+                if g.active.any():
+                    g.consume()
 
         self.env = old_env
-        # cycled-fill duplicates resolve to the first prediction
+        results: Dict[str, dict] = {}
+        for g in groups:
+            results.update(g.results)
         return list(results.values())
 
     # ------------------------------------------------------ checkpoints
@@ -671,3 +608,119 @@ class HAMTAgent:
         self.state = TrainState(params, cparams, opt_state, copt_state,
                                 blob["step"])
         return blob["step"]
+
+
+class _PackedEvalGroup:
+    """One pipeline group of continuation-packed greedy evaluation.
+
+    Owns an env (batch of slots), per-slot device history state and the
+    host-side bookkeeping. ``dispatch`` enqueues one policy step on the
+    device and returns without blocking (JAX dispatch is async);
+    ``consume`` blocks on the action download and advances the env. The
+    caller interleaves dispatch/consume across groups to hide the
+    download latency and host env time behind device compute.
+    """
+
+    def __init__(self, agent: "HAMTAgent", env, items, no_cand_backtrack):
+        self.a = agent
+        self.env = env
+        self.no_cand_backtrack = no_cand_backtrack
+        self.b = b = env.batch_size
+        self.t_max = env.max_action_len
+        self.stop = agent.stop_slot
+        self.fd = agent._feat_dtype()
+
+        # initial fill through load_item (lets task envs derive the
+        # supervision path for raw items, e.g. CVDN start/end panos);
+        # pad by cycling when the split is tiny
+        env.batch = [None] * b
+        for i in range(b):
+            env.load_item(i, items[i % len(items)])
+        self.pending = list(items[b:])
+        self.pending.reverse()  # pop() from the front of the split order
+
+        self.rng = agent._next_rng()
+        txt_ids, txt_mask = env.txt_batch()
+        self.txt_mask = txt_mask
+        self.txt_embeds = agent.encode_text(
+            agent.state.params, jnp.asarray(txt_ids), jnp.asarray(txt_mask),
+            self.rng, True)
+        hist_cache = jnp.zeros(
+            (b, self.t_max + 1, agent.cfg.model.hidden_size),
+            jnp.bfloat16 if agent.cfg.model.dtype == "bfloat16"
+            else jnp.float32)
+        self.hist_cache, self.hist_len = agent._slot_reset(
+            agent.state.params, hist_cache, jnp.ones((b,), jnp.int32),
+            jnp.ones((b,), bool), self.rng)
+
+        self.t_vec = np.zeros((b,), np.int32)
+        self.active = np.ones((b,), bool)
+        self.traj = [[agent._pose_tuple(env, i)] for i in range(b)]
+        self.visited = [set([int(env.sim.node[i])]) for i in range(b)]
+        self.results: Dict[str, dict] = {}
+        self.obs = env._observe()
+        self._a_dev = None
+
+    def dispatch(self) -> None:
+        a, env, obs, b = self.a, self.env, self.obs, self.b
+        forbid = np.zeros((b, a.num_ob_tokens), bool)
+        if self.no_cand_backtrack:
+            for i in range(b):
+                for c in range(self.stop):
+                    cn = int(obs.cand_node[i, c])
+                    if cn >= 0 and cn in self.visited[i]:
+                        forbid[i, c] = True
+        self._a_dev, _, _, self.hist_cache, self.hist_len = a.policy_step(
+            a.state.params, a.state.cparams, self.txt_embeds,
+            jnp.asarray(self.txt_mask), self.hist_cache, self.hist_len,
+            jnp.asarray(np.minimum(self.t_vec, self.t_max - 1)),
+            jnp.asarray(obs.pano_feat, self.fd), jnp.asarray(obs.view_index),
+            jnp.asarray(obs.cand_point), jnp.asarray(obs.cand_ang),
+            jnp.asarray(self.active), jnp.asarray(forbid),
+            jnp.zeros((b,), jnp.int32), a._next_rng(),
+            mode="argmax", deterministic=True,
+        )
+
+    def consume(self) -> None:
+        a, env, b, stop = self.a, self.env, self.b, self.stop
+        a_t = np.asarray(self._a_dev)  # blocks: device step + download
+        self._a_dev = None
+
+        env_actions = np.where(self.active & (a_t != stop), a_t, -1)
+        obs_after = env.step(env_actions, self.obs)
+        reset_mask = np.zeros((b,), bool)
+        for i in range(b):
+            if not self.active[i]:
+                continue
+            if env_actions[i] >= 0:
+                self.traj[i].append(a._pose_tuple(env, i))
+                self.visited[i].add(int(env.sim.node[i]))
+                self.t_vec[i] += 1
+            done = a_t[i] == stop or self.t_vec[i] >= self.t_max
+            if not done:
+                continue
+            instr_id = env.batch[i]["instr_id"]
+            if instr_id not in self.results:
+                # cycled-fill duplicates resolve to the first prediction
+                self.results[instr_id] = {"instr_id": instr_id,
+                                          "trajectory": self.traj[i]}
+            if self.pending:
+                env.load_item(i, self.pending.pop())
+                self.traj[i] = [a._pose_tuple(env, i)]
+                self.visited[i] = set([int(env.sim.node[i])])
+                self.t_vec[i] = 0
+                reset_mask[i] = True
+            else:
+                self.active[i] = False
+        if reset_mask.any():
+            self.hist_cache, self.hist_len = a._slot_reset(
+                a.state.params, self.hist_cache, self.hist_len,
+                jnp.asarray(reset_mask), self.rng)
+            txt_ids, txt_mask = env.txt_batch()
+            self.txt_mask = txt_mask
+            self.txt_embeds = a.encode_text(
+                a.state.params, jnp.asarray(txt_ids), jnp.asarray(txt_mask),
+                self.rng, True)
+            self.obs = env._observe()
+        else:
+            self.obs = obs_after

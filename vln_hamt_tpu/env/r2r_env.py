@@ -59,6 +59,8 @@ class R2RNavEnv:
         self.reuse_episode_buffers = reuse_episode_buffers
         self._pano_ring: Dict[tuple, list] = {}
         self._pano_ring_idx = 0
+        # extra ctor kwargs a subclass needs clone_shell to forward
+        self._clone_extra: Dict[str, object] = {}
 
         self.data = list(instr_data)
         # ground truth over the FULL split, before rank sharding
@@ -135,6 +137,17 @@ class R2RNavEnv:
         self.batch[slot] = item
         self.sim.new_episode_at(slot, item["scan"], item["path"][0],
                                 item.get("heading", 0.0))
+
+    def clone_shell(self, items: List[dict], seed: int = 0) -> "R2RNavEnv":
+        """A second env of the same class/config over a different item
+        list. Pipelined packed evaluation drives two such groups so one
+        group's host/env work overlaps the other's device step."""
+        return type(self)(
+            self.graphs, self.feat_db, items, self.spec,
+            batch_size=self.batch_size, max_instr_len=self.max_instr_len,
+            max_action_len=self.max_action_len, seed=seed, name=self.name,
+            error_margin=self.error_margin, **self._clone_extra,
+        )
 
     def reset(self) -> ObsBatch:
         self._next_minibatch()

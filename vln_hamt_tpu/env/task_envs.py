@@ -125,6 +125,13 @@ class ReverieNavEnv(R2RNavEnv):
         self.multi_endpoints = multi_endpoints
         self.multi_startpoints = multi_startpoints
         self.image_w, self.image_h = image_sizes
+        self._clone_extra = {
+            "obj_db": obj_db, "obj2viewpoint": obj2viewpoint,
+            "max_objects": max_objects, "obj_feat_size": obj_feat_size,
+            "multi_endpoints": multi_endpoints,
+            "multi_startpoints": multi_startpoints,
+            "image_sizes": image_sizes,
+        }
         self.gt_trajs = {
             x["instr_id"]: (x["scan"], x["path"], x["objId"]) for x in self.data
         }
@@ -287,28 +294,37 @@ class CVDNNavEnv(R2RNavEnv):
     def __init__(self, *args, use_player_path: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.use_player_path = use_player_path
+        self._clone_extra = {"use_player_path": use_player_path}
         self.gt_trajs = {
             x["instr_id"]: (x["scan"], x["end_panos"]) for x in self.data
             if "end_panos" in x
         }
         self._np_rng = np.random.default_rng(kwargs.get("seed", 0))
 
+    def _prepare_item(self, item: dict) -> dict:
+        """Resample the supervision path for one item (cvdn/env.py:31-46)."""
+        item = dict(item)
+        g = self.graphs[item["scan"]]
+        if "end_panos" in item:
+            if self.use_player_path and self._np_rng.random() > 0.5:
+                item["path"] = item["nav_steps"][item["nav_idx"]:]
+            else:
+                end = item["end_panos"][int(self._np_rng.integers(len(item["end_panos"])))]
+                path = g.shortest_path(g.index(item["start_pano"]), g.index(end))
+                item["path"] = [g.node_ids[v] for v in path]
+        else:
+            item["path"] = [item["start_pano"]]
+        item["heading"] = item.get("start_heading", 0.0)
+        return item
+
     def _next_minibatch(self, batch_size=None) -> None:
         super()._next_minibatch(batch_size)
-        batch = [dict(item) for item in self.batch]
-        for item in batch:
-            g = self.graphs[item["scan"]]
-            if "end_panos" in item:
-                if self.use_player_path and self._np_rng.random() > 0.5:
-                    item["path"] = item["nav_steps"][item["nav_idx"]:]
-                else:
-                    end = item["end_panos"][int(self._np_rng.integers(len(item["end_panos"])))]
-                    path = g.shortest_path(g.index(item["start_pano"]), g.index(end))
-                    item["path"] = [g.node_ids[v] for v in path]
-            else:
-                item["path"] = [item["start_pano"]]
-            item["heading"] = item.get("start_heading", 0.0)
-        self.batch = batch
+        self.batch = [self._prepare_item(item) for item in self.batch]
+
+    def load_item(self, slot: int, item: dict) -> None:
+        # raw NDH items carry start_pano/end_panos, not a path; packed
+        # eval swaps items in directly so derive the path here too
+        super().load_item(slot, self._prepare_item(item))
 
     def _observe(self, pano_out: np.ndarray = None) -> ObsBatch:
         obs = super()._observe(pano_out=pano_out)
