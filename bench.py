@@ -75,6 +75,10 @@ def main() -> None:
         reuse_episode_buffers=True,
     )
     agent = HAMTAgent(cfg, env, seed=0)
+    # BENCH_FEAT_TABLE=0 reverts to shipping (B,T,V,D) features per
+    # iteration instead of device-resident table + (B,T) index gather
+    if os.environ.get("BENCH_FEAT_TABLE", "1") == "1":
+        agent.enable_feature_table()
 
     for _ in range(WARMUP_STEPS):
         agent.train_iteration("teacher")

@@ -92,6 +92,42 @@ def test_rl_replay_matches_rollout_logits(setup):
     assert np.all(replay[~finite] == -np.inf)
 
 
+def test_feature_table_il_matches_plain(tiny_world):
+    """Device-resident feature-table transport (ship (B,T) node indices,
+    gather on device) must produce bit-identical IL updates."""
+    cfg = tiny_cfg(tiny_world)
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates,
+                   image_feat_size=cfg.env.image_feat_size)
+
+    def make(table):
+        env = R2RNavEnv(
+            tiny_world.graphs, tiny_world.feat_db, tiny_world.instr_data,
+            spec, batch_size=cfg.train.batch_size,
+            max_instr_len=cfg.env.max_instr_len,
+            max_action_len=cfg.env.max_action_len, seed=0)
+        agent = HAMTAgent(cfg, env, seed=0)
+        if table:
+            agent.enable_feature_table()
+        return env, agent
+
+    env, _ = make(True)  # schema probe on a throwaway env
+    ep = env.teacher_episode()
+    assert ep.pano_feat is None and ep.node_idx is not None
+    assert ep.node_idx.dtype == np.int32
+
+    losses = {}
+    for table in (False, True):
+        _, agent = make(table)
+        out = [float(agent.train_iteration("teacher")["loss"])
+               for _ in range(3)]
+        # one IL+RL iteration: rollout policy steps + replay must also be
+        # table-invariant
+        rl = agent.train_iteration("sample")
+        out += [float(rl["loss"]), float(rl["RL_loss"])]
+        losses[table] = out
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-6)
+
+
 def test_rl_replay_parity_with_pallas_dropout(tiny_world):
     """In-kernel attention dropout (ops/attention.py) must preserve the
     replay-parity invariant: the policy-step and scan-replay programs

@@ -72,7 +72,6 @@ def episode_to_device(ep, feat_dtype=jnp.float32,
     d = {
         "txt_ids": ep.txt_ids,
         "txt_mask": ep.txt_mask,
-        "pano_feat": jnp.asarray(ep.pano_feat, feat_dtype),
         "view_index": ep.view_index,
         "cand_point": ep.cand_point,
         "cand_ang": ep.cand_ang,
@@ -80,6 +79,12 @@ def episode_to_device(ep, feat_dtype=jnp.float32,
         "step_mask": ep.step_mask,
         "teacher": ep.teacher,
     }
+    if ep.pano_feat is None:
+        # feature-table mode: ship (B, T) ints; the device gathers
+        # features from the resident table inside the episode forward
+        d["node_idx"] = ep.node_idx
+    else:
+        d["pano_feat"] = jnp.asarray(ep.pano_feat, feat_dtype)
     if final_obs is not None:
         d.update(
             final_pano_feat=jnp.asarray(final_obs.pano_feat, feat_dtype),
@@ -140,6 +145,23 @@ class HAMTAgent:
         self._il_rl_update = jax.jit(self._il_rl_update_fn)
         self.logs: Dict[str, List[float]] = defaultdict(list)
         self._iter_rng = jax.random.PRNGKey(seed + 17)
+        self._feat_table = None  # device (N, V, D); enable_feature_table
+
+    def enable_feature_table(self, env: Optional[R2RNavEnv] = None) -> None:
+        """Switch IL episode transport to device-resident features.
+
+        Builds one (N, V, D) table over the env's graphs, device_puts it
+        in the compute dtype, and flips the env into node-index episode
+        mode: teacher episodes then ship (B, T) ints and the features
+        are gathered on device inside the jitted forward.
+        """
+        from ..data.feature_db import build_feature_table
+
+        env = env or self.env
+        table, offsets = build_feature_table(env.graphs, env.feat_db)
+        self._feat_table = jax.device_put(
+            jnp.asarray(table, self._feat_dtype()))
+        env.feat_offsets = offsets
 
     # ------------------------------------------------------------------
     def _next_rng(self) -> jax.Array:
@@ -153,15 +175,20 @@ class HAMTAgent:
         return episode_to_device(ep, self._feat_dtype(), final_obs)
 
     # ---------------------------------------------------------- losses
-    def _il_loss(self, params, cparams, ep, rng, weight):
-        out = self.episode_forward(params, cparams, ep, rng, deterministic=False)
+    def _il_loss(self, params, cparams, ep, rng, weight, feat_table=None):
+        out = self.episode_forward(params, cparams, ep, rng,
+                                   deterministic=False,
+                                   feat_table=feat_table)
         teacher = jnp.moveaxis(ep["teacher"], 0, 1)  # (T, B)
         b = ep["actions"].shape[0]
         loss = il_loss(out.logits, teacher, IGNORE_ID) * weight / b
         return loss, {"IL_loss": loss}
 
-    def _rl_loss(self, params, cparams, ep, rewards, masks, bootstrap_mask, rng):
-        out = self.episode_forward(params, cparams, ep, rng, deterministic=False)
+    def _rl_loss(self, params, cparams, ep, rewards, masks, bootstrap_mask,
+                 rng, feat_table=None):
+        out = self.episode_forward(params, cparams, ep, rng,
+                                   deterministic=False,
+                                   feat_table=feat_table)
         actions = jnp.moveaxis(ep["actions"], 0, 1)  # (T, B)
         tcfg = self.cfg.train
         # bootstrap only for episodes still alive after the horizon
@@ -176,9 +203,10 @@ class HAMTAgent:
         return loss, aux
 
     def _il_update_fn(self, state_params, state_cparams, opt_state, copt_state,
-                      ep, rng, il_weight):
+                      ep, rng, il_weight, feat_table=None):
         def loss_fn(params, cparams):
-            return self._il_loss(params, cparams, ep, rng, il_weight)
+            return self._il_loss(params, cparams, ep, rng, il_weight,
+                                 feat_table)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
                                                 has_aux=True)(
@@ -193,11 +221,12 @@ class HAMTAgent:
 
     def _il_rl_update_fn(self, state_params, state_cparams, opt_state,
                          copt_state, il_ep, il_rng, il_weight, rl_ep, rewards,
-                         masks, bootstrap_mask, rl_rng):
+                         masks, bootstrap_mask, rl_rng, feat_table=None):
         def loss_fn(params, cparams):
-            l1, a1 = self._il_loss(params, cparams, il_ep, il_rng, il_weight)
+            l1, a1 = self._il_loss(params, cparams, il_ep, il_rng, il_weight,
+                                   feat_table)
             l2, a2 = self._rl_loss(params, cparams, rl_ep, rewards, masks,
-                                   bootstrap_mask, rl_rng)
+                                   bootstrap_mask, rl_rng, feat_table)
             return l1 + l2, {**a1, **a2}
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
@@ -230,7 +259,17 @@ class HAMTAgent:
         env = self.env
         spec = env.spec
         stop = self.stop_slot
+        # feature-table mode: no host feature work anywhere in the
+        # rollout — policy steps ship (B,) node rows, the replay episode
+        # ships (B, T) rows, and the device gathers from the table
+        use_table = getattr(env, "feat_offsets", None) is not None
+        if use_table:
+            assert self._feat_table is not None, \
+                "env is in feature-table mode but the agent has no table"
         obs = env.reset()
+        feat_offs = (np.array([env.feat_offsets[it["scan"]]
+                               for it in env.batch], np.int64)
+                     if use_table else None)
         b = obs.batch_size
         t_max = env.max_action_len
 
@@ -283,15 +322,25 @@ class HAMTAgent:
                         if cn >= 0 and cn in visited[i]:
                             forbid[i, c] = True
             live = ~ended
+            if use_table:
+                feat_args = dict(
+                    pano_feat=None,
+                    node_idx=jnp.asarray((feat_offs + obs.node).astype(np.int32)),
+                    feat_table=self._feat_table)
+            else:
+                feat_args = dict(pano_feat=jnp.asarray(obs.pano_feat, fd))
             a_dev, logits, value, hist_cache, hist_len = self.policy_step(
                 self.state.params, self.state.cparams, txt_embeds, txt_mask,
                 hist_cache, hist_len, t,
-                jnp.asarray(obs.pano_feat, fd), jnp.asarray(obs.view_index),
-                jnp.asarray(obs.cand_point), jnp.asarray(obs.cand_ang),
-                jnp.asarray(live), jnp.asarray(forbid),
-                jnp.asarray(obs.teacher if mode == "teacher" else np.zeros(b, np.int32)),
-                step_key(base_rng, t),
-                mode=mode, deterministic=deterministic,
+                view_index=jnp.asarray(obs.view_index),
+                cand_point=jnp.asarray(obs.cand_point),
+                cand_ang=jnp.asarray(obs.cand_ang),
+                live=jnp.asarray(live), forbid=jnp.asarray(forbid),
+                given_action=jnp.asarray(
+                    obs.teacher if mode == "teacher"
+                    else np.zeros(b, np.int32)),
+                rng=step_key(base_rng, t),
+                mode=mode, deterministic=deterministic, **feat_args,
             )
             a_t = np.asarray(a_dev)
             step_mask[:, t] = live
@@ -327,7 +376,7 @@ class HAMTAgent:
                 obs_list.append(obs_list[-1])
             ep = self._stack_obs_episode(
                 obs_list, txt_ids, txt_mask, actions_rec, step_mask,
-                final_obs=obs,
+                final_obs=obs, feat_offs=feat_offs,
             )
             extras = {
                 "ep": ep,
@@ -394,13 +443,13 @@ class HAMTAgent:
         return (g.node_ids[st.node], st.heading, st.elevation)
 
     def _stack_obs_episode(self, obs_list, txt_ids, txt_mask, actions,
-                           step_mask, final_obs=None) -> Dict[str, jnp.ndarray]:
+                           step_mask, final_obs=None,
+                           feat_offs=None) -> Dict[str, jnp.ndarray]:
         fd = self._feat_dtype()
         stack = lambda attr: np.stack([getattr(o, attr) for o in obs_list], axis=1)
         d = {
             "txt_ids": txt_ids,
             "txt_mask": txt_mask,
-            "pano_feat": jnp.asarray(stack("pano_feat"), fd),
             "view_index": stack("view_index"),
             "cand_point": stack("cand_point"),
             "cand_ang": stack("cand_ang"),
@@ -408,13 +457,24 @@ class HAMTAgent:
             "step_mask": step_mask,
             "teacher": np.stack([o.teacher for o in obs_list], axis=1),
         }
+        if feat_offs is not None:
+            # feature-table mode: (B, T) global rows, gathered on device
+            d["node_idx"] = np.stack(
+                [feat_offs + o.node for o in obs_list], axis=1
+            ).astype(np.int32)
+        else:
+            d["pano_feat"] = jnp.asarray(stack("pano_feat"), fd)
         if final_obs is not None:
             d.update(
-                final_pano_feat=jnp.asarray(final_obs.pano_feat, fd),
                 final_view_index=final_obs.view_index,
                 final_cand_point=final_obs.cand_point,
                 final_cand_ang=final_obs.cand_ang,
             )
+            if feat_offs is not None:
+                d["final_node_idx"] = (feat_offs
+                                       + final_obs.node).astype(np.int32)
+            else:
+                d["final_pano_feat"] = jnp.asarray(final_obs.pano_feat, fd)
         return jax.tree.map(jnp.asarray, d)
 
     # ------------------------------------------------------------ train
@@ -435,7 +495,7 @@ class HAMTAgent:
             rng = self._next_rng()
             params, cparams, opt_state, copt_state, loss, aux = self._il_update(
                 st.params, st.cparams, st.opt_state, st.copt_state, ep, rng,
-                tcfg.teacher_weight,
+                tcfg.teacher_weight, self._feat_table,
             )
         elif feedback == "sample":
             il_ep = self._ep_to_device(self.env.teacher_episode())
@@ -448,6 +508,7 @@ class HAMTAgent:
                 st.params, st.cparams, st.opt_state, st.copt_state,
                 il_ep, il_rng, tcfg.ml_weight, extras["ep"], extras["rewards"],
                 extras["masks"], extras["bootstrap_mask"], rl_rng,
+                self._feat_table,
             )
         else:
             raise ValueError(f"bad feedback {feedback!r}")
@@ -670,15 +731,25 @@ class _PackedEvalGroup:
                     cn = int(obs.cand_node[i, c])
                     if cn >= 0 and cn in self.visited[i]:
                         forbid[i, c] = True
+        if env.feat_offsets is not None:
+            offs = np.array([env.feat_offsets[it["scan"]]
+                             for it in env.batch], np.int64)
+            feat_args = dict(
+                pano_feat=None,
+                node_idx=jnp.asarray((offs + obs.node).astype(np.int32)),
+                feat_table=a._feat_table)
+        else:
+            feat_args = dict(pano_feat=jnp.asarray(obs.pano_feat, self.fd))
         self._a_dev, _, _, self.hist_cache, self.hist_len = a.policy_step(
             a.state.params, a.state.cparams, self.txt_embeds,
             jnp.asarray(self.txt_mask), self.hist_cache, self.hist_len,
             jnp.asarray(np.minimum(self.t_vec, self.t_max - 1)),
-            jnp.asarray(obs.pano_feat, self.fd), jnp.asarray(obs.view_index),
-            jnp.asarray(obs.cand_point), jnp.asarray(obs.cand_ang),
-            jnp.asarray(self.active), jnp.asarray(forbid),
-            jnp.zeros((b,), jnp.int32), a._next_rng(),
-            mode="argmax", deterministic=True,
+            view_index=jnp.asarray(obs.view_index),
+            cand_point=jnp.asarray(obs.cand_point),
+            cand_ang=jnp.asarray(obs.cand_ang),
+            live=jnp.asarray(self.active), forbid=jnp.asarray(forbid),
+            given_action=jnp.zeros((b,), jnp.int32), rng=a._next_rng(),
+            mode="argmax", deterministic=True, **feat_args,
         )
 
     def consume(self) -> None:

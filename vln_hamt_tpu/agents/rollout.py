@@ -140,7 +140,16 @@ def build_episode_forward(
     expand_obs = make_expand_obs(36, cfg.angle_feat_size, ob_type)
 
     def episode_forward(params, cparams, ep: Dict[str, jnp.ndarray], rng,
-                        deterministic: bool = False) -> EpisodeOutputs:
+                        deterministic: bool = False,
+                        feat_table=None) -> EpisodeOutputs:
+        if "node_idx" in ep:
+            # feature-table mode: one on-device gather materializes the
+            # (B, T, V, D) pano stack from the resident table; the host
+            # shipped only (B, T) indices
+            ep = dict(ep)
+            ep["pano_feat"] = feat_table[ep["node_idx"]]
+            if "final_node_idx" in ep:
+                ep["final_pano_feat"] = feat_table[ep["final_node_idx"]]
         txt_ids, txt_mask = ep["txt_ids"], ep["txt_mask"]
         b, t_steps = ep["actions"].shape
         h_max = t_steps + 1
@@ -255,7 +264,12 @@ def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig,
         pano_feat, view_index, cand_point, cand_ang,
         live, forbid, given_action, rng,
         mode: str = "argmax", deterministic: bool = True,
+        node_idx=None, feat_table=None,
     ):
+        if node_idx is not None:
+            # feature-table mode: (B,) row gather replaces the per-step
+            # (B, V, D) host transfer
+            pano_feat = feat_table[node_idx]
         h_max = hist_cache.shape[1]
         k_plan, k_critic, k_hist, k_act = jax.random.split(rng, 4)
         apply = partial(model.apply, {"params": params})

@@ -134,6 +134,9 @@ class TrainConfig:
     normalize_loss: str = "total"  # total | batch | none
     ignoreid: int = -100
     seed: int = 0
+    # device-resident feature table for IL episode transport (ship
+    # (B,T) node indices; gather features on device)
+    feat_table: bool = True
     # parallelism
     num_data_shards: int = 1  # data-parallel mesh size
     # checkpointing

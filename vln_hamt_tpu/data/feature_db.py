@@ -91,3 +91,26 @@ class SyntheticFeatureDB(FeatureDB):
         if self._cache is not None:
             self._cache[key] = ft
         return ft
+
+
+def build_feature_table(graphs, feat_db) -> Tuple[np.ndarray, Dict[str, int]]:
+    """Materialize the whole split's pano features as one (N, V, D)
+    table plus scan -> row-offset map.
+
+    TPU-native feature transport: the agent device_puts this table ONCE
+    (bf16: all of MP3D's ~10.6k viewpoints x 36 x 768 is ~0.6 GB, well
+    within a chip's HBM) and training episodes ship (B, T) int32 row
+    indices instead of (B, T, V, D) floats — the gather runs on device
+    inside the jitted episode forward. Replaces the reference's per-obs
+    host feature assembly (``finetune_src/r2r/env.py:270-303``).
+    """
+    offsets: Dict[str, int] = {}
+    rows = []
+    n = 0
+    for scan in sorted(graphs):
+        g = graphs[scan]
+        offsets[scan] = n
+        for vid in g.node_ids:
+            rows.append(feat_db.get(scan, vid))
+        n += g.num_nodes
+    return np.stack(rows), offsets

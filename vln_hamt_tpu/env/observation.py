@@ -116,7 +116,7 @@ class ObsBatch:
 
     @property
     def batch_size(self) -> int:
-        return self.pano_feat.shape[0]
+        return self.view_index.shape[0]
 
     # compatibility alias for MatterSim naming
     @property
@@ -172,13 +172,18 @@ class EpisodeBatch:
 
     txt_ids: np.ndarray  # (B, L) int32
     txt_mask: np.ndarray  # (B, L) bool
-    pano_feat: np.ndarray  # (B, T, V, D)
+    pano_feat: np.ndarray  # (B, T, V, D); None in feature-table mode
     view_index: np.ndarray  # (B, T)
     cand_point: np.ndarray  # (B, T, C)
     cand_ang: np.ndarray  # (B, T, C, A)
     actions: np.ndarray  # (B, T) int32 action slots taken
     step_mask: np.ndarray  # (B, T) bool valid (pre-stop) steps
     teacher: np.ndarray  # (B, T) int32 supervision (IGNORE_ID invalid)
+    # feature-table mode: global viewpoint rows into a device-resident
+    # (N, V, D) table; pano features are gathered ON DEVICE inside the
+    # jitted episode forward, so the host ships (B, T) ints instead of
+    # (B, T, V, D) floats
+    node_idx: np.ndarray = None  # (B, T) int32, or None
 
 
 def expand_obs_np(
@@ -259,16 +264,20 @@ def teacher_slot(cand_node: np.ndarray, stop_slot: int, teacher_node: int,
 def make_obs_batch(
     spec: ObsSpec,
     sim: GraphSimulator,
-    features: Sequence[np.ndarray],  # per-slot (V, D) pano features
+    features,  # per-slot (V, D) pano features, or None (table mode)
     goals: Sequence[int],
     teacher_nodes: Sequence[int],
     pano_out: np.ndarray = None,  # optional (B, V, D) fp32 destination
 ) -> ObsBatch:
-    b = len(features)
+    b = len(goals)
     c = spec.max_candidates
     a = spec.angle_feat_size
 
-    if pano_out is not None:
+    if features is None:
+        # feature-table mode: the episode ships node indices and the
+        # device gathers features; no host-side feature work at all
+        pano_feat = None
+    elif pano_out is not None:
         # write features straight into a caller-owned episode buffer
         # (avoids the extra full-batch copy in episode assembly)
         np.stack(features, out=pano_out)

@@ -61,6 +61,12 @@ class R2RNavEnv:
         self._pano_ring_idx = 0
         # extra ctor kwargs a subclass needs clone_shell to forward
         self._clone_extra: Dict[str, object] = {}
+        # feature-table mode (set via agent.enable_feature_table):
+        # scan -> row offset into the device-resident (N, V, D) feature
+        # table. When set, the env NEVER touches features on the host —
+        # observations carry pano_feat=None and episodes carry global
+        # node indices for an on-device gather.
+        self.feat_offsets: Optional[Dict[str, int]] = None
 
         self.data = list(instr_data)
         # ground truth over the FULL split, before rank sharding
@@ -122,11 +128,14 @@ class R2RNavEnv:
 
     def _observe(self, pano_out: np.ndarray = None) -> ObsBatch:
         b = len(self.batch)
-        feats = [
-            self.feat_db.get(self.batch[i]["scan"],
-                             self.sim.graph(i).node_ids[self.sim.node[i]])
-            for i in range(b)
-        ]
+        if self.feat_offsets is not None:
+            feats = None
+        else:
+            feats = [
+                self.feat_db.get(self.batch[i]["scan"],
+                                 self.sim.graph(i).node_ids[self.sim.node[i]])
+                for i in range(b)
+            ]
         goals = [self._item_goal(it) for it in self.batch]
         teacher_nodes = [self._teacher_node(i) for i in range(b)]
         return make_obs_batch(self.spec, self.sim, feats, goals, teacher_nodes,
@@ -142,12 +151,14 @@ class R2RNavEnv:
         """A second env of the same class/config over a different item
         list. Pipelined packed evaluation drives two such groups so one
         group's host/env work overlaps the other's device step."""
-        return type(self)(
+        env = type(self)(
             self.graphs, self.feat_db, items, self.spec,
             batch_size=self.batch_size, max_instr_len=self.max_instr_len,
             max_action_len=self.max_action_len, seed=seed, name=self.name,
             error_margin=self.error_margin, **self._clone_extra,
         )
+        env.feat_offsets = self.feat_offsets  # same graphs, same table
+        return env
 
     def reset(self) -> ObsBatch:
         self._next_minibatch()
@@ -193,6 +204,8 @@ class R2RNavEnv:
 
         The trajectory under teacher forcing is the ground-truth path, so
         every step's observation is known without model involvement.
+        In feature-table mode no features are touched on the host at
+        all — the episode carries node indices for a device gather.
         """
         obs = self.reset()
         return self._collect_episode_with_actions(obs, policy=None)
@@ -203,20 +216,29 @@ class R2RNavEnv:
         stop = self.spec.stop_slot
         c = self.spec.max_candidates
         a_dim = self.spec.angle_feat_size
-        v, d = obs.pano_feat.shape[1:]
+        table_mode = obs.pano_feat is None
 
-        # preallocated episode buffers; env.step writes pano features
-        # straight into ep_pano[:, t] (no per-step ObsBatch list + final
-        # np.stack re-copy of the 50+ MB feature tensor)
-        if self.reuse_episode_buffers:
-            ring = self._pano_ring.setdefault((b, t_max, v, d), [None] * 4)
-            self._pano_ring_idx = (self._pano_ring_idx + 1) % 4
-            if ring[self._pano_ring_idx] is None:
-                ring[self._pano_ring_idx] = np.empty((b, t_max, v, d),
-                                                     np.float32)
-            ep_pano = ring[self._pano_ring_idx]
+        if table_mode:
+            ep_pano = None
+            ep_node = np.empty((b, t_max), np.int32)
+            offs = np.array([self.feat_offsets[it["scan"]]
+                             for it in self.batch], np.int64)
         else:
-            ep_pano = np.empty((b, t_max, v, d), np.float32)
+            v, d = obs.pano_feat.shape[1:]
+            # preallocated episode buffers; env.step writes pano features
+            # straight into ep_pano[:, t] (no per-step ObsBatch list +
+            # final np.stack re-copy of the 50+ MB feature tensor)
+            if self.reuse_episode_buffers:
+                ring = self._pano_ring.setdefault((b, t_max, v, d),
+                                                  [None] * 4)
+                self._pano_ring_idx = (self._pano_ring_idx + 1) % 4
+                if ring[self._pano_ring_idx] is None:
+                    ring[self._pano_ring_idx] = np.empty((b, t_max, v, d),
+                                                         np.float32)
+                ep_pano = ring[self._pano_ring_idx]
+            else:
+                ep_pano = np.empty((b, t_max, v, d), np.float32)
+            ep_node = None
         ep_view = np.empty((b, t_max), np.int32)
         ep_cpoint = np.empty((b, t_max, c), np.int32)
         ep_cang = np.empty((b, t_max, c, a_dim), np.float32)
@@ -225,9 +247,12 @@ class R2RNavEnv:
         step_mask = np.zeros((b, t_max), dtype=bool)
         ended = np.zeros((b,), dtype=bool)
 
-        ep_pano[:, 0] = obs.pano_feat
+        if not table_mode:
+            ep_pano[:, 0] = obs.pano_feat
         t_done = t_max  # first step index NOT recorded by the loop body
         for t in range(t_max):
+            if table_mode:
+                ep_node[:, t] = offs + obs.node
             ep_view[:, t] = obs.view_index
             ep_cpoint[:, t] = obs.cand_point
             ep_cang[:, t] = obs.cand_ang
@@ -240,7 +265,9 @@ class R2RNavEnv:
             env_actions = np.where(live & (a_t != stop), a_t, -1)
             ended |= a_t == stop
             if t + 1 < t_max:
-                obs = self.step(env_actions, obs, pano_out=ep_pano[:, t + 1])
+                obs = self.step(
+                    env_actions, obs,
+                    pano_out=None if table_mode else ep_pano[:, t + 1])
                 if ended.all():
                     t_done = t + 1
                     break
@@ -249,10 +276,14 @@ class R2RNavEnv:
             # remaining steps are masked out; fill with copies of the
             # final obs to keep fixed shapes (pano at t_done was already
             # written by the last env.step)
+            if table_mode:
+                ep_node[:, t_done] = offs + obs.node
+                ep_node[:, t_done + 1 :] = ep_node[:, t_done : t_done + 1]
+            else:
+                ep_pano[:, t_done + 1 :] = ep_pano[:, t_done : t_done + 1]
             ep_view[:, t_done] = obs.view_index
             ep_cpoint[:, t_done] = obs.cand_point
             ep_cang[:, t_done] = obs.cand_ang
-            ep_pano[:, t_done + 1 :] = ep_pano[:, t_done : t_done + 1]
             ep_view[:, t_done + 1 :] = ep_view[:, t_done : t_done + 1]
             ep_cpoint[:, t_done + 1 :] = ep_cpoint[:, t_done : t_done + 1]
             ep_cang[:, t_done + 1 :] = ep_cang[:, t_done : t_done + 1]
@@ -268,6 +299,7 @@ class R2RNavEnv:
             actions=actions,
             step_mask=step_mask,
             teacher=teacher,
+            node_idx=ep_node,
         )
 
     # ------------------------------------------------------------------

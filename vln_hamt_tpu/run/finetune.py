@@ -189,6 +189,13 @@ def train(
     if isinstance(train_env, tuple):
         train_env, aug_env = train_env
     agent = _AGENT_CLS[dataset](cfg, train_env, seed=cfg.train.seed)
+    if cfg.train.feat_table and dataset != "reverie":
+        # device-resident feature table: episodes/policy steps ship node
+        # indices, the device gathers features (reverie's episodes carry
+        # object features -> keeps the full-obs path)
+        agent.enable_feature_table(train_env)
+        for e in ([aug_env] if aug_env is not None else []) + list(val_envs.values()):
+            e.feat_offsets = train_env.feat_offsets
     if resume_file:
         agent.load(resume_file, resume_optimizer=cfg.train.resume_optimizer)
     # config dump (reference save_training_meta, utils/save.py:12-20)
@@ -298,6 +305,9 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the episode scan (O(1) activations)")
+    p.add_argument("--no_feat_table", action="store_true",
+                   help="ship per-episode features instead of the "
+                        "device-resident feature table")
     return p.parse_args(argv)
 
 
@@ -309,6 +319,8 @@ def main(argv=None):
         if getattr(args, key) is not None:
             overrides[key] = getattr(args, key)
     overrides["seed"] = args.seed
+    if args.no_feat_table:
+        overrides["feat_table"] = False
     cfg = cfg.replace(train=overrides)
     if args.bf16:
         cfg = cfg.replace(model={"dtype": "bfloat16"})
