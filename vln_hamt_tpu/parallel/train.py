@@ -38,17 +38,21 @@ def build_sharded_il_train_step(
     """
     episode_forward = build_episode_forward(model, critic, cfg.model)
 
-    def loss_fn(params, cparams, ep, rng):
-        out = episode_forward(params, cparams, ep, rng, deterministic=False)
+    def loss_fn(params, cparams, ep, rng, feat_table):
+        out = episode_forward(params, cparams, ep, rng, deterministic=False,
+                              feat_table=feat_table)
         teacher = jnp.moveaxis(ep["teacher"], 0, 1)
         b = ep["actions"].shape[0]
         loss = il_loss(out.logits, teacher, IGNORE_ID) * cfg.train.ml_weight / b
         return loss, {"IL_loss": loss}
 
-    def train_step(params, cparams, opt_state, copt_state, ep, rng):
+    def train_step(params, cparams, opt_state, copt_state, ep, rng,
+                   feat_table=None):
+        # feat_table: replicated (N, V, D) device table when the episode
+        # carries node_idx; the gather happens per data shard
         (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
                                                 has_aux=True)(
-            params, cparams, ep, rng
+            params, cparams, ep, rng, feat_table
         )
         gp, gc = grads
         updates, opt_state = tx.update(gp, opt_state, params)
