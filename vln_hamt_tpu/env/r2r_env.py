@@ -15,7 +15,7 @@ teacher-forced episode on the host in one go and returns a time-stacked
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

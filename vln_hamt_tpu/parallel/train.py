@@ -18,7 +18,6 @@ from jax.sharding import Mesh
 from ..configs import HAMTConfig
 from ..env.observation import IGNORE_ID
 from ..models.hamt import Critic, HAMT
-from .mesh import shard_batch, shard_params
 from ..agents.losses import il_loss
 from ..agents.rollout import build_episode_forward
 
