@@ -128,6 +128,56 @@ def test_feature_table_il_matches_plain(tiny_world):
     np.testing.assert_allclose(losses[False], losses[True], rtol=1e-6)
 
 
+def test_device_rollout_matches_host(tiny_world):
+    """The fully device-resident RL sampling rollout (one lax.scan with
+    nav-table transitions + in-scan nDTW rewards) must reproduce the
+    host rollout exactly: logits, actions, visited nodes, rewards,
+    masks, bootstrap, and the resulting IL+RL updates."""
+    cfg = tiny_cfg(tiny_world)
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates,
+                   image_feat_size=cfg.env.image_feat_size)
+
+    def make():
+        env = R2RNavEnv(
+            tiny_world.graphs, tiny_world.feat_db, tiny_world.instr_data,
+            spec, batch_size=cfg.train.batch_size,
+            max_instr_len=cfg.env.max_instr_len,
+            max_action_len=cfg.env.max_action_len, seed=0)
+        agent = HAMTAgent(cfg, env, seed=0)
+        agent.enable_feature_table()
+        return agent
+
+    rng = jax.random.PRNGKey(42)
+    a1 = make()
+    _, host = a1.interactive_rollout("sample", rng, deterministic=False,
+                                     record_for_replay=True)
+    a2 = make()
+    dev_ep, dev = a2.device_rollout_iteration(rng)
+
+    hl = host["rollout_logits"]
+    t_used = hl.shape[0]
+    dl = np.asarray(dev["rollout_logits"])[:t_used]
+    fin = np.isfinite(hl)
+    np.testing.assert_allclose(dl[fin], hl[fin], rtol=2e-4, atol=2e-4)
+    for k in ("actions", "step_mask", "node_idx", "view_index"):
+        np.testing.assert_array_equal(np.asarray(dev_ep[k]),
+                                      np.asarray(host["ep"][k]))
+    np.testing.assert_allclose(np.asarray(dev["rewards"]),
+                               np.asarray(host["rewards"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dev["masks"]),
+                                  np.asarray(host["masks"]))
+    np.testing.assert_array_equal(np.asarray(dev["bootstrap_mask"]),
+                                  np.asarray(host["bootstrap_mask"]))
+
+    # end-to-end: identical IL+RL updates through train_iteration
+    a3, a4 = make(), make()
+    a3.device_rollout_rewards = False  # host path
+    h = [float(a3.train_iteration("sample")["loss"]) for _ in range(2)]
+    d = [float(a4.train_iteration("sample")["loss"]) for _ in range(2)]
+    np.testing.assert_allclose(h, d, rtol=2e-5)
+
+
 def test_rl_replay_parity_with_pallas_dropout(tiny_world):
     """In-kernel attention dropout (ops/attention.py) must preserve the
     replay-parity invariant: the policy-step and scan-replay programs

@@ -146,6 +146,12 @@ class HAMTAgent:
         self.logs: Dict[str, List[float]] = defaultdict(list)
         self._iter_rng = jax.random.PRNGKey(seed + 17)
         self._feat_table = None  # device (N, V, D); enable_feature_table
+        self._nav_tables = None  # device nav tables (device rollout)
+        self._device_rollout_fn = None
+
+    # R2R reward shaping is baked into the device rollout scan; task
+    # variants with different rewards keep the host rollout
+    device_rollout_rewards = True
 
     def enable_feature_table(self, env: Optional[R2RNavEnv] = None) -> None:
         """Switch IL episode transport to device-resident features.
@@ -153,15 +159,26 @@ class HAMTAgent:
         Builds one (N, V, D) table over the env's graphs, device_puts it
         in the compute dtype, and flips the env into node-index episode
         mode: teacher episodes then ship (B, T) ints and the features
-        are gathered on device inside the jitted forward.
+        are gathered on device inside the jitted forward. Also builds
+        the nav tables that let the RL sampling rollout run as one
+        device scan (build_device_rollout).
         """
         from ..data.feature_db import build_feature_table
+        from ..data.nav_graph import build_nav_tables
 
         env = env or self.env
         table, offsets = build_feature_table(env.graphs, env.feat_db)
         self._feat_table = jax.device_put(
             jnp.asarray(table, self._feat_dtype()))
         env.feat_offsets = offsets
+        nav, nav_offs = build_nav_tables(env.graphs,
+                                         self.cfg.env.max_candidates)
+        assert nav_offs == offsets  # same sorted-scan layout
+        self._nav_tables = {k: jax.device_put(jnp.asarray(v))
+                            for k, v in nav.items()}
+        self._n_scan_max = max(g.num_nodes for g in env.graphs.values())
+        self._ref_max = max((len(it["path"]) for it in env.data
+                             if "path" in it), default=2)
 
     # ------------------------------------------------------------------
     def _next_rng(self) -> jax.Array:
@@ -387,6 +404,45 @@ class HAMTAgent:
             }
         return traj, extras
 
+    # ------------------------------------------ device-resident rollout
+    def device_rollout_iteration(self, rng: jax.Array):
+        """One RL sampling rollout entirely on device.
+
+        The host only resets the env (table mode: no feature work) and
+        ships start poses + per-item (N_scan, R) reference-cost slabs;
+        the graph walk, sampling, history, nDTW fidelity reward, and
+        episode recording all run inside one jitted ``lax.scan``
+        (rollout.py:build_device_rollout).
+        """
+        from .rollout import build_device_rollout
+
+        env = self.env
+        obs = env.reset()
+        b = obs.batch_size
+        offs = np.array([env.feat_offsets[it["scan"]] for it in env.batch],
+                        np.int32)
+        n_max, r_max = self._n_scan_max, self._ref_max
+        ref_cost = np.full((b, n_max, r_max), np.inf, np.float32)
+        ref_len = np.zeros((b,), np.int32)
+        for i, item in enumerate(env.batch):
+            g = env.graphs[item["scan"]]
+            ref = g.indices(item["path"])
+            ref_len[i] = len(ref)
+            ref_cost[i, : g.num_nodes, : len(ref)] = g.dist[:, ref]
+        if self._device_rollout_fn is None:
+            self._device_rollout_fn = build_device_rollout(
+                self.model, self.critic, self.cfg.model, env.max_action_len,
+                ob_type=self.cfg.env.ob_type, error_margin=env.error_margin)
+        txt_ids, txt_mask = env.txt_batch()
+        return self._device_rollout_fn(
+            self.state.params, self.state.cparams,
+            jnp.asarray(txt_ids), jnp.asarray(txt_mask), rng,
+            self._feat_table, self._nav_tables,
+            jnp.asarray((offs + obs.node).astype(np.int32)),
+            jnp.asarray(obs.view_index), jnp.asarray(offs),
+            jnp.asarray(ref_cost), jnp.asarray(ref_len),
+            deterministic=False)
+
     # ------------------------------------------------- rollout hooks
     # Task-variant agents override these; defaults implement the R2R
     # reward shaping and episode-termination semantics
@@ -501,9 +557,17 @@ class HAMTAgent:
             il_ep = self._ep_to_device(self.env.teacher_episode())
             il_rng = self._next_rng()
             rl_rng = self._next_rng()
-            _, extras = self.interactive_rollout(
-                "sample", rl_rng, deterministic=False, record_for_replay=True
-            )
+            if (self.device_rollout_rewards and self._nav_tables is not None
+                    and self.env.feat_offsets is not None):
+                # fully device-resident sampling rollout: one scan, no
+                # per-step host round trips
+                rl_ep, extras = self.device_rollout_iteration(rl_rng)
+                extras = {"ep": rl_ep, **extras}
+            else:
+                _, extras = self.interactive_rollout(
+                    "sample", rl_rng, deterministic=False,
+                    record_for_replay=True
+                )
             params, cparams, opt_state, copt_state, loss, aux = self._il_rl_update(
                 st.params, st.cparams, st.opt_state, st.copt_state,
                 il_ep, il_rng, tcfg.ml_weight, extras["ep"], extras["rewards"],

@@ -199,6 +199,7 @@ def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
 
 
 class ReverieAgent(HAMTAgent):
+    device_rollout_rewards = False  # object-grounded rollout is its own path
     """Joint nav + grounding agent over :class:`ReverieNavEnv`."""
 
     supports_packed_eval = False  # object inputs + predObjId output

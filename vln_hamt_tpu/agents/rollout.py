@@ -253,6 +253,7 @@ def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig,
     """
 
     expand_obs = make_expand_obs(36, cfg.angle_feat_size, ob_type)
+    core = _make_policy_core(model, critic, expand_obs)
 
     @partial(
         jax.jit,
@@ -270,6 +271,26 @@ def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig,
             # feature-table mode: (B,) row gather replaces the per-step
             # (B, V, D) host transfer
             pano_feat = feat_table[node_idx]
+        return core(params, cparams, txt_embeds, txt_mask, hist_cache,
+                    hist_len, t, pano_feat, view_index, cand_point, cand_ang,
+                    live, forbid, given_action, rng, mode, deterministic)
+
+    return policy_step
+
+
+def _make_policy_core(model: HAMT, critic: Critic, expand_obs):
+    """One interactive policy step as a pure function.
+
+    Shared by the jitted single-step :func:`build_policy_step` (host
+    loop) and by the fully device-resident rollout scan
+    (:func:`build_device_rollout`) — sharing the body guarantees both
+    produce bit-identical logits/actions for the same per-step rng.
+    """
+
+    def core(params, cparams, txt_embeds, txt_mask, hist_cache, hist_len, t,
+             pano_feat, view_index, cand_point, cand_ang,
+             live, forbid, given_action, rng,
+             mode: str, deterministic: bool):
         h_max = hist_cache.shape[1]
         k_plan, k_critic, k_hist, k_act = jax.random.split(rng, 4)
         apply = partial(model.apply, {"params": params})
@@ -310,7 +331,7 @@ def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig,
         hist_len = hist_len + live.astype(jnp.int32)
         return action, logits, value, hist_cache, hist_len
 
-    return policy_step
+    return core
 
 
 def build_slot_reset(model: HAMT):
@@ -347,3 +368,194 @@ def build_init_history(model: HAMT):
                            method=HAMT.init_history, rngs={"dropout": rng})
 
     return init_history
+
+
+# ----------------------------------------------------------------------
+def _device_angle_feats(heading, elevation, a_size: int):
+    """jnp mirror of data.angle.angle_features (fp32 trig)."""
+    heading = heading.astype(jnp.float32)
+    elevation = elevation.astype(jnp.float32)
+    base = jnp.stack([jnp.sin(heading), jnp.cos(heading),
+                      jnp.sin(elevation), jnp.cos(elevation)], axis=-1)
+    reps = a_size // 4
+    if reps > 1:
+        base = jnp.tile(base, (1,) * (base.ndim - 1) + (reps,))
+    return base
+
+
+def _dp_extend(dp, cost):
+    """One DTW row extension, vectorized over the batch.
+
+    dp (B, R+1): previous DP row; cost (B, R): dist(new_node, ref_j).
+    Mirrors eval.metrics.IncrementalNDTW._extend:
+      cur[j] = cost[j-1] + min(prev[j], prev[j-1], cur[j-1]), cur[0]=inf.
+    """
+    b, r = cost.shape
+
+    def jstep(cur_prev, x):
+        prev_j, prev_jm1, cost_j = x
+        cur_j = cost_j + jnp.minimum(jnp.minimum(prev_j, prev_jm1), cur_prev)
+        return cur_j, cur_j
+
+    xs = (jnp.moveaxis(dp[:, 1:], 0, 1),   # prev[j],   (R, B)
+          jnp.moveaxis(dp[:, :-1], 0, 1),  # prev[j-1], (R, B)
+          jnp.moveaxis(cost, 0, 1))        # cost[j-1], (R, B)
+    _, rows = jax.lax.scan(jstep, jnp.full((b,), jnp.inf), xs)
+    return jnp.concatenate([jnp.full((b, 1), jnp.inf),
+                            jnp.moveaxis(rows, 0, 1)], axis=1)
+
+
+def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
+                         t_max: int, ob_type: str = "pano",
+                         error_margin: float = 3.0):
+    """The WHOLE RL sampling rollout as one jitted device program.
+
+    The reference's rollout makes ``t_max`` Python/simulator/GPU round
+    trips per iteration (agent_cmt.py:248-529). With the feature table
+    and the nav tables (data/nav_graph.py:build_nav_tables) resident in
+    HBM, the graph transition is a gather, the nDTW fidelity reward is
+    an O(R) DP row extension, and the distance reward is a table
+    column read — so the sampling loop becomes a ``lax.scan`` with ZERO
+    host involvement. The host ships only start poses and the per-item
+    (N_scan, R) reference-cost slabs.
+
+    Rewards mirror HAMTAgent._step_rewards exactly (R2R shaping:
+    agent_cmt.py:407-445); dropout/sampling keys mirror the host loop
+    (step_key(base, t), same split order via the shared policy core),
+    so logits and trajectories are bit-comparable with the host rollout.
+
+    Returns device_rollout(params, cparams, txt_ids, txt_mask, rng,
+        feat_table, nav (dict), start_node (B,) GLOBAL, start_view (B,),
+        offs (B,), ref_cost (B, N_scan_max, R_max), ref_len (B,),
+        deterministic)
+      -> (ep dict for scan replay, extras dict)
+    """
+    expand_obs = make_expand_obs(36, cfg.angle_feat_size, ob_type)
+    core = _make_policy_core(model, critic, expand_obs)
+
+    @partial(jax.jit, static_argnames=("deterministic",))
+    def device_rollout(params, cparams, txt_ids, txt_mask, rng,
+                       feat_table, nav, start_node, start_view, offs,
+                       ref_cost, ref_len, deterministic: bool = False):
+        b = start_node.shape[0]
+        stop = nav["nbr_global"].shape[1]  # slot layout: [C cands | STOP | pano]
+        apply = partial(model.apply, {"params": params})
+
+        txt_embeds = apply(txt_ids, txt_mask, deterministic,
+                           method=HAMT.encode_text,
+                           rngs={"dropout": jax.random.fold_in(rng, TXT_KEY_SALT)})
+        hist0 = apply(b, deterministic, method=HAMT.init_history,
+                      rngs={"dropout": jax.random.fold_in(rng, HIST0_KEY_SALT)})
+        hist_cache = jnp.zeros((b, t_max + 1, cfg.hidden_size), hist0.dtype)
+        hist_cache = hist_cache.at[:, 0].set(hist0)
+        hist_len = jnp.ones((b,), jnp.int32)
+
+        bi = jnp.arange(b)
+        rl = ref_len.astype(jnp.int32)
+
+        def cost_at(node):  # (B, R) dist(node, ref_j)
+            return ref_cost[bi, node - offs]
+
+        def ndtw_val(dp):
+            return jnp.exp(-dp[bi, rl] / (error_margin * rl.astype(jnp.float32)))
+
+        def cand_tables(node, view):
+            cg = nav["nbr_global"][node]  # (B, C)
+            valid = cg >= 0
+            cp = jnp.where(valid, nav["nbr_point"][node], -1)
+            base_h = (view % 12).astype(jnp.float32) * (jnp.pi / 6.0)
+            ang = _device_angle_feats(nav["nbr_head"][node] - base_h[:, None],
+                                      nav["nbr_elev"][node],
+                                      cfg.angle_feat_size)
+            ang = jnp.where(valid[:, :, None], ang, 0.0)
+            return cg, valid, cp, ang
+
+        # initial nDTW DP row: closed column 0, then the start node
+        dp0 = jnp.full((b, ref_cost.shape[2] + 1), jnp.inf).at[:, 0].set(0.0)
+        dp0 = _dp_extend(dp0, cost_at(start_node))
+        last_ndtw0 = ndtw_val(dp0)
+        last_dist0 = cost_at(start_node)[bi, rl - 1]
+
+        forbid = jnp.zeros((b, stop + 1 + 36), bool)
+        zeros_i = jnp.zeros((b,), jnp.int32)
+
+        def body(carry, x):
+            ended, node, view, hist_cache, hist_len, dp, last_dist, last_ndtw = carry
+            t, key = x
+            live = ~ended
+            cg, valid, cand_point, cand_ang = cand_tables(node, view)
+            pano = feat_table[node]
+            action, logits, value, hist_cache, hist_len = core(
+                params, cparams, txt_embeds, txt_mask, hist_cache, hist_len,
+                t, pano, view, cand_point, cand_ang, live, forbid, zeros_i,
+                key, "sample", deterministic)
+
+            rec_action = jnp.where(live, action, stop)
+            slot = jnp.clip(action, 0, stop - 1)
+            tgt = jnp.take_along_axis(cg, slot[:, None], 1)[:, 0]
+            tgt_ok = jnp.take_along_axis(valid, slot[:, None], 1)[:, 0]
+            moved = live & (action < stop) & tgt_ok
+            new_node = jnp.where(moved, tgt, node)
+            new_view = jnp.where(
+                moved, jnp.take_along_axis(cand_point, slot[:, None], 1)[:, 0],
+                view)
+
+            # host parity: the prediction path (nDTW DP) extends whenever
+            # env_actions >= 0, i.e. live and not STOP — even for no-op
+            # picks of non-candidate slots (agent.py rollout loop)
+            extend = live & (action != stop)
+            dp_new = _dp_extend(dp, cost_at(new_node))
+            dp = jnp.where(extend[:, None], dp_new, dp)
+            cur_ndtw = ndtw_val(dp)
+            dist = cost_at(new_node)[bi, rl - 1]
+
+            # R2R reward shaping (_step_rewards; agent_cmt.py:407-445)
+            stop_r = jnp.where(dist < error_margin,
+                               2.0 + cur_ndtw * 2.0, -2.0)
+            delta = -(dist - last_dist)
+            nr = cur_ndtw - last_ndtw
+            move_r = jnp.where(delta > 0.0, 1.0 + nr, -1.0 + nr)
+            miss = (last_dist <= 1.0) & (dist - last_dist > 0.0)
+            move_r = move_r - jnp.where(miss, (1.0 - last_dist) * 2.0, 0.0)
+            reward = jnp.where(action == stop, stop_r, move_r)
+            reward = jnp.where(live, reward, 0.0).astype(jnp.float32)
+
+            new_ended = ended | (action == stop)
+            carry = (new_ended, new_node, new_view, hist_cache, hist_len,
+                     dp, dist, cur_ndtw)
+            ys = (rec_action, logits, value, reward, live,
+                  node, view, cand_point, cand_ang)
+            return carry, ys
+
+        keys = jax.vmap(lambda t: step_key(rng, t))(jnp.arange(t_max))
+        carry0 = (jnp.zeros((b,), bool), start_node, start_view,
+                  hist_cache, hist_len, dp0, last_dist0, last_ndtw0)
+        carry, ys = jax.lax.scan(
+            body, carry0, (jnp.arange(t_max, dtype=jnp.int32), keys))
+        ended, node, view = carry[0], carry[1], carry[2]
+        (actions, logits, values, rewards, lives,
+         nodes, views, cpoints, cangs) = ys
+
+        _, _, final_cp, final_ca = cand_tables(node, view)
+        ep = {
+            "txt_ids": txt_ids, "txt_mask": txt_mask,
+            "node_idx": jnp.moveaxis(nodes, 0, 1).astype(jnp.int32),
+            "view_index": jnp.moveaxis(views, 0, 1),
+            "cand_point": jnp.moveaxis(cpoints, 0, 1),
+            "cand_ang": jnp.moveaxis(cangs, 0, 1),
+            "actions": jnp.moveaxis(actions, 0, 1),
+            "step_mask": jnp.moveaxis(lives, 0, 1),
+            "final_node_idx": node.astype(jnp.int32),
+            "final_view_index": view,
+            "final_cand_point": final_cp,
+            "final_cand_ang": final_ca,
+        }
+        extras = {
+            "rewards": rewards,                       # (T, B)
+            "masks": lives.astype(jnp.float32),       # (T, B)
+            "bootstrap_mask": ~ended,                 # (B,)
+            "rollout_logits": logits,                 # (T, B, N)
+        }
+        return ep, extras
+
+    return device_rollout

@@ -24,6 +24,7 @@ from .agent import HAMTAgent
 
 
 class R2RBackAgent(HAMTAgent):
+    device_rollout_rewards = False  # two-phase rewards -> host rollout
     supports_packed_eval = False  # two-phase episodes + midstop output
 
     def _episode_state_init(self, obs, graphs, traj) -> Dict[str, Any]:
@@ -95,6 +96,7 @@ class R2RBackAgent(HAMTAgent):
         return new_ended
 
 class CVDNAgent(HAMTAgent):
+    device_rollout_rewards = False  # multi-goal reward -> host rollout
     def _episode_state_init(self, obs, graphs, traj) -> Dict[str, Any]:
         return {"last_dist": obs.dist_to_goal.copy()}
 

@@ -214,3 +214,49 @@ def load_nav_graphs(connectivity_dir: str, scans: Iterable[str],
     """
     return {scan: load_nav_graph(connectivity_dir, scan, use_native)
             for scan in scans}
+
+
+def build_nav_tables(graphs: Dict[str, "NavGraph"], max_candidates: int):
+    """Concatenate per-scan neighbor tables into global device tables.
+
+    Scan order is sorted(graphs) — the SAME order as
+    ``feature_db.build_feature_table`` so one scan->offset map serves
+    both. Returns (tables, offsets) with tables:
+      nbr_global (N, C) int32 — neighbor GLOBAL node id, -1 padded
+      nbr_point  (N, C) int32 — neighbor's representative view index
+      nbr_head   (N, C) f32   — absolute heading of the neighbor
+      nbr_elev   (N, C) f32   — elevation of the neighbor
+
+    These make the nav-graph transition a pure gather, enabling the
+    fully device-resident RL rollout (agents/rollout.py:
+    build_device_rollout) — the TPU-native replacement for the
+    reference's per-step MatterSim calls (agent_cmt.py:213-246).
+    """
+    c = max_candidates
+    offsets: Dict[str, int] = {}
+    n_total = 0
+    for scan in sorted(graphs):
+        offsets[scan] = n_total
+        n_total += graphs[scan].num_nodes
+    nbr_global = np.full((n_total, c), -1, np.int32)
+    nbr_point = np.zeros((n_total, c), np.int32)
+    nbr_head = np.zeros((n_total, c), np.float32)
+    nbr_elev = np.zeros((n_total, c), np.float32)
+    for scan in sorted(graphs):
+        g = graphs[scan]
+        off = offsets[scan]
+        deg = g.nbr_index.shape[1]
+        if deg > c:
+            raise ValueError(f"scan {scan} max degree {deg} > {c}")
+        valid = g.nbr_index >= 0
+        nbr_global[off:off + g.num_nodes, :deg] = np.where(
+            valid, g.nbr_index + off, -1)
+        nbr_point[off:off + g.num_nodes, :deg] = np.where(
+            valid, g.nbr_point_id, 0)
+        nbr_head[off:off + g.num_nodes, :deg] = np.where(
+            valid, g.nbr_heading, 0.0)
+        nbr_elev[off:off + g.num_nodes, :deg] = np.where(
+            valid, g.nbr_elevation, 0.0)
+    tables = {"nbr_global": nbr_global, "nbr_point": nbr_point,
+              "nbr_head": nbr_head, "nbr_elev": nbr_elev}
+    return tables, offsets
