@@ -23,7 +23,7 @@ import time
 
 ESTIMATED_REFERENCE_EPS = 20.0  # episodes/sec, 1x V100, IL batch 8 (estimate)
 
-BATCH_SIZE = int(os.environ.get("BENCH_BS", 32))
+BATCH_SIZE = int(os.environ.get("BENCH_BS", 64))
 WARMUP_STEPS = 2
 MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", 8))
 

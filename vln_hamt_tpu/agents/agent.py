@@ -796,6 +796,8 @@ class _PackedEvalGroup:
                     if cn >= 0 and cn in self.visited[i]:
                         forbid[i, c] = True
         if env.feat_offsets is not None:
+            assert a._feat_table is not None, \
+                "env is in feature-table mode but the agent has no table"
             offs = np.array([env.feat_offsets[it["scan"]]
                              for it in env.batch], np.int64)
             feat_args = dict(
