@@ -320,3 +320,52 @@ def test_critic_parity():
     critic = Critic(ModelConfig())
     got = np.asarray(critic.apply({"params": cparams}, jnp.asarray(state)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_hf_xlmr_init():
+    """XLM-R init path (RxR): name-matched load + type-embedding
+    duplication (main_r2r.py:138-143); the off-by-+2 position table is
+    dropped on shape mismatch, mirroring the reference's silent skip."""
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    from vln_hamt_tpu.models.convert import (
+        convert_hf_xlmr_state_dict,
+        merge_params,
+    )
+    from vln_hamt_tpu.models.hamt import init_hamt_params
+
+    hf_cfg = XLMRobertaConfig(
+        vocab_size=VOCAB, hidden_size=H, num_hidden_layers=L_LAYERS,
+        num_attention_heads=HEADS, intermediate_size=INTER,
+        max_position_embeddings=32 + 2, type_vocab_size=1,
+        hidden_act="gelu", pad_token_id=1,
+    )
+    torch.manual_seed(3)
+    xlmr = XLMRobertaModel(hf_cfg, add_pooling_layer=False)
+    sd = {k: v.detach().numpy() for k, v in xlmr.state_dict().items()}
+    partial = convert_hf_xlmr_state_dict(sd, num_l_layers=L_LAYERS,
+                                         max_position_embeddings=32)
+    # type embedding duplicated 1 -> 2; mismatched position table dropped
+    assert partial["embeddings"]["token_type_embeddings"]["embedding"].shape[0] == 2
+    assert "position_embeddings" not in partial["embeddings"]
+
+    cfg = _flax_cfg()
+    import jax as _jax
+
+    model, _, params, _ = init_hamt_params(cfg, _jax.random.PRNGKey(0),
+                                           num_ob_tokens=NOB, instr_len=L,
+                                           hist_len=HIST)
+    params = merge_params(params, partial)
+    np.testing.assert_array_equal(
+        params["embeddings"]["word_embeddings"]["embedding"],
+        sd["embeddings.word_embeddings.weight"])
+    np.testing.assert_array_equal(
+        params["lang_layers"]["layer_0"]["attention"]["att"]["query"]["kernel"],
+        sd["encoder.layer.0.attention.self.query.weight"].T)
+
+    inp = _inputs(5)
+    out = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(inp["txt_ids"]),
+                                 jnp.asarray(inp["txt_mask"]),
+                                 method=HAMT.encode_text))
+    assert np.isfinite(out).all()

@@ -16,7 +16,7 @@ Conventions: torch ``Linear.weight`` is (out, in) -> flax ``kernel``
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -216,6 +216,36 @@ def convert_hf_bert_state_dict(sd: Mapping[str, Any],
     _layernorm(p, ("embeddings", "LayerNorm"), sd, "embeddings.LayerNorm")
     for i in range(num_l_layers):
         _bert_layer(p, ("lang_layers", f"layer_{i}"), sd, f"encoder.layer.{i}")
+    return p
+
+
+def convert_hf_xlmr_state_dict(sd: Mapping[str, Any],
+                               num_l_layers: int = 9,
+                               max_position_embeddings: Optional[int] = None
+                               ) -> Dict:
+    """HuggingFace xlm-roberta-base -> partial HAMT params (RxR text).
+
+    Mirrors the reference's XLM init (``pretrain_src/main_r2r.py:
+    131-143``): parameters are name-matched like BERT, and the single
+    token-type embedding row is duplicated to 2 ("the second is for
+    image embedding"). XLM-R's position table has a +2 padding offset
+    (514 rows); the reference's name-matched load silently skips it on
+    shape mismatch — we do the same (leave random init) unless the row
+    count already matches.
+    """
+    import numpy as np
+
+    sd = {k.replace("roberta.", ""): v for k, v in sd.items()}
+    p = convert_hf_bert_state_dict(sd, num_l_layers)
+    emb = p["embeddings"]
+    tte = np.asarray(emb["token_type_embeddings"]["embedding"])
+    if tte.shape[0] == 1:
+        emb["token_type_embeddings"]["embedding"] = np.concatenate(
+            [tte, tte], axis=0)
+    pos = np.asarray(emb["position_embeddings"]["embedding"])
+    if (max_position_embeddings is not None
+            and pos.shape[0] != max_position_embeddings):
+        del emb["position_embeddings"]  # shape mismatch -> keep random
     return p
 
 
