@@ -118,6 +118,41 @@ def test_sharded_pretrain_step(mesh8):
     np.testing.assert_allclose(float(loss), loss_ref, rtol=2e-3)
 
 
+def test_pretrain_trainer_on_mesh(mesh8):
+    """PretrainTrainer(mesh=...) must train every task under dp+tp —
+    including ITM, whose batch has non-batch-leading leaves that must
+    replicate rather than shard."""
+    from vln_hamt_tpu.configs import ModelConfig
+    from vln_hamt_tpu.data.fixtures import make_synthetic_world
+    from vln_hamt_tpu.pretrain import (
+        PretrainBatcher,
+        PretrainTrainer,
+        TrajectoryDataset,
+        make_synthetic_trajectories,
+    )
+
+    cfg = ModelConfig(hidden_size=64, num_attention_heads=4,
+                      intermediate_size=128, num_l_layers=2, num_x_layers=2,
+                      num_h_pano_layers=1, image_feat_size=32,
+                      image_prob_size=16, max_position_embeddings=64,
+                      max_action_steps=16)
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=12, num_items=10,
+                                 feat_dim=48, seed=2)
+    ds = TrajectoryDataset(make_synthetic_trajectories(world), world.graphs,
+                           world.feat_db, image_feat_size=32,
+                           image_prob_size=16, max_txt_len=32, max_hist_len=6)
+    batcher = PretrainBatcher(ds, seed=0, vocab_mask_range=(1000, 2000))
+    trainer = PretrainTrainer(cfg, batcher, tasks=("itm", "mlm"),
+                              mix_ratio=(1, 1), batch_size=8, lr=1e-3,
+                              warmup_steps=2, total_steps=50, mesh=mesh8)
+    seen = set()
+    for _ in range(4):
+        task, loss, aux = trainer.train_step()
+        seen.add(task)
+        assert np.isfinite(loss), task
+    assert "itm" in seen or "mlm" in seen
+
+
 def test_dryrun_multichip_entry():
     """The driver-facing multi-chip dryrun must run end to end."""
     import __graft_entry__ as graft

@@ -82,10 +82,23 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Shard every leaf's leading (batch) axis over the 'data' axis."""
-    sharding = NamedSharding(mesh, P("data"))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+def shard_batch(batch, mesh: Mesh, batch_size: int = None):
+    """Shard every leaf's leading (batch) axis over the 'data' axis.
+
+    With ``batch_size`` given, leaves whose leading dim differs (e.g.
+    the ITM batch's (n_shuffles, B, T) tables) are replicated instead.
+    """
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        if (batch_size is not None
+                and (getattr(x, "ndim", 0) == 0
+                     or x.shape[0] != batch_size)):
+            return jax.device_put(x, repl)
+        return jax.device_put(x, data)
+
+    return jax.tree.map(place, batch)
 
 
 def replicate(tree, mesh: Mesh):

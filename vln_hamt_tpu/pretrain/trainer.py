@@ -82,17 +82,28 @@ class PretrainTrainer:
         grad_norm: float = 5.0,  # pretrain default grad_norm
         seed: int = 0,
         views: int = 36,
+        mesh=None,  # jax.sharding.Mesh('data','model'): dp+tp pretraining
     ):
         self.cfg = cfg
         self.batcher = batcher
         self.batch_size = batch_size
         self.scheduler = TaskScheduler(tasks, mix_ratio, seed)
+        self.mesh = mesh
 
         self.model, params = init_pretrain_params(
             cfg, jax.random.PRNGKey(seed), views=views,
             max_hist_len=batcher.ds.max_hist_len,
             instr_len=batcher.ds.max_txt_len,
         )
+        if mesh is not None:
+            # the reference scales pretraining with 4-GPU DDP
+            # (README.md:53-60); here it's a mesh placement: params get
+            # the TP rules, batches shard over 'data', and the SAME
+            # jitted update below runs under GSPMD — the shardings ride
+            # in on the inputs.
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         sched = warmup_linear_schedule(lr, warmup_steps, total_steps)
         tx = optax.chain(
             optax.clip_by_global_norm(grad_norm),
@@ -146,7 +157,13 @@ class PretrainTrainer:
         task, batch = self._next_batch.result()
         self._next_batch = self._pool.submit(self._build_batch,
                                              self.state.step + 1)
-        batch = jax.tree.map(jnp.asarray, batch)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, self.mesh,
+                                batch_size=self.batch_size)
+        else:
+            batch = jax.tree.map(jnp.asarray, batch)
         self._rng, rng = jax.random.split(self._rng)
         params, opt_state, loss, aux = self._update(
             self.state.params, self.state.opt_state, batch, rng, task

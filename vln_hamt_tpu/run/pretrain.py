@@ -88,6 +88,10 @@ def parse_args(argv=None):
     p.add_argument("--connectivity_dir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--data_shards", type=int, default=1,
+                   help="mesh 'data' axis (batch sharding)")
+    p.add_argument("--model_shards", type=int, default=1,
+                   help="mesh 'model' axis (tensor parallel)")
     return p.parse_args(argv)
 
 
@@ -114,11 +118,17 @@ def main(argv=None):
 
     batcher = PretrainBatcher(train_ds, seed=args.seed)
     val_batcher = PretrainBatcher(val_ds, seed=args.seed + 1)
+    mesh = None
+    if args.data_shards * args.model_shards > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_data=args.data_shards,
+                         num_model=args.model_shards)
     trainer = PretrainTrainer(
         mcfg, batcher, tasks=args.tasks, mix_ratio=args.mix_ratio,
         batch_size=args.batch_size, lr=args.lr,
         warmup_steps=args.warmup_steps, total_steps=args.num_steps,
-        grad_accum=args.grad_accum, seed=args.seed,
+        grad_accum=args.grad_accum, seed=args.seed, mesh=mesh,
     )
     logger = MetricsLogger(args.output_dir)
 
