@@ -114,3 +114,61 @@ def test_fixed_success_is_respected_in_sdtw():
     s = dtw_scores(g.dist, [0, 1, 2], [0, 1, 2], success=0.0)
     assert s["SDTW"] == 0.0
     assert s["nDTW"] > 0.9
+
+
+def test_device_dp_extend_matches_incremental_ndtw():
+    """The in-scan DTW row extension (rollout._dp_extend) must track
+    IncrementalNDTW exactly over random walks."""
+    import jax
+    import jax.numpy as jnp
+
+    from vln_hamt_tpu.agents.rollout import _dp_extend
+    from vln_hamt_tpu.eval.metrics import IncrementalNDTW
+
+    rng = np.random.default_rng(7)
+    n, b, r, steps = 20, 5, 6, 10
+    pos = rng.standard_normal((n, 3)) * 4
+    dist = np.sqrt(((pos[:, None] - pos[None]) ** 2).sum(-1)).astype(np.float32)
+    refs = [rng.integers(0, n, r).tolist() for _ in range(b)]
+    starts = rng.integers(0, n, b).tolist()
+    inc = IncrementalNDTW([dist] * b, refs, starts)
+
+    dp = jnp.full((b, r + 1), jnp.inf).at[:, 0].set(0.0)
+    cost = lambda nodes: jnp.asarray(
+        np.stack([dist[nd, refs[i]] for i, nd in enumerate(nodes)]))
+    nodes = list(starts)
+    dp = _dp_extend(dp, cost(nodes))
+    for _ in range(steps):
+        nodes = rng.integers(0, n, b).tolist()
+        for i in range(b):
+            inc.update(i, nodes[i])
+        dp = _dp_extend(dp, cost(nodes))
+        dev_val = np.exp(-np.asarray(dp)[:, r] / (3.0 * r))
+        want = np.array([inc.value(i) for i in range(b)])
+        np.testing.assert_allclose(dev_val, want, rtol=1e-5)
+
+
+def test_build_nav_tables_globalization():
+    """Global neighbor tables must agree with per-graph tables under
+    the sorted-scan offset layout (same layout as the feature table)."""
+    from vln_hamt_tpu.data.fixtures import make_synthetic_world
+    from vln_hamt_tpu.data.nav_graph import build_nav_tables
+    from vln_hamt_tpu.data.feature_db import build_feature_table
+
+    world = make_synthetic_world(num_scans=3, nodes_per_scan=10,
+                                 num_items=6, feat_dim=8, seed=5)
+    c = max(g.max_degree for g in world.graphs.values())
+    nav, offs = build_nav_tables(world.graphs, c)
+    _, offs2 = build_feature_table(world.graphs, world.feat_db)
+    assert offs == offs2
+    for scan, g in world.graphs.items():
+        off = offs[scan]
+        for u in range(g.num_nodes):
+            deg = int((g.nbr_index[u] >= 0).sum())
+            row = nav["nbr_global"][off + u]
+            assert (row[:deg] == g.nbr_index[u][:deg] + off).all()
+            assert (row[deg:] == -1).all()
+            np.testing.assert_array_equal(
+                nav["nbr_point"][off + u][:deg], g.nbr_point_id[u][:deg])
+            np.testing.assert_allclose(
+                nav["nbr_head"][off + u][:deg], g.nbr_heading[u][:deg])
