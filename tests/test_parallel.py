@@ -72,7 +72,6 @@ def test_sharded_pretrain_step(mesh8):
 
     from vln_hamt_tpu.configs import ModelConfig
     from vln_hamt_tpu.data.fixtures import make_synthetic_world
-    from vln_hamt_tpu.parallel.train import build_sharded_pretrain_step
     from vln_hamt_tpu.pretrain import (
         PretrainBatcher,
         TrajectoryDataset,
@@ -108,11 +107,22 @@ def test_sharded_pretrain_step(mesh8):
 
     loss_ref = float(loss_fn(params))
 
+    # the sharded update as the trainer compiles it: inputs carry the
+    # shardings, GSPMD inserts the grad all-reduce
+    @jax.jit
+    def step(p, o, b, rng):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: model.apply({"params": p}, b, "mlm",
+                                  deterministic=False,
+                                  rngs={"dropout": rng}),
+            has_aux=True)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss, aux
+
     sp = shard_params(params, mesh8)
     sb = shard_batch(batch, mesh8)
-    step = build_sharded_pretrain_step(model, tx, mesh8)
     p2, o2, loss, aux = step(sp, shard_params(opt_state, mesh8), sb,
-                             jax.random.key(1), "mlm")
+                             jax.random.key(1))
     assert np.isfinite(float(loss))
     del p2, o2, aux
     np.testing.assert_allclose(float(loss), loss_ref, rtol=2e-3)
@@ -151,6 +161,90 @@ def test_pretrain_trainer_on_mesh(mesh8):
         seen.add(task)
         assert np.isfinite(loss), task
     assert "itm" in seen or "mlm" in seen
+
+
+def _tiny_mesh_agent(world, batch=8, table=True, max_action_len=6):
+    from vln_hamt_tpu.agents import HAMTAgent
+    from vln_hamt_tpu.configs import HAMTConfig
+    from vln_hamt_tpu.env import ObsSpec, R2RNavEnv
+
+    feat_dim = world.feat_db.feat_dim
+    max_deg = max(g.max_degree for g in world.graphs.values())
+    cfg = HAMTConfig().replace(
+        model={"hidden_size": 64, "num_attention_heads": 4,
+               "intermediate_size": 128, "num_l_layers": 2,
+               "num_x_layers": 2, "num_h_pano_layers": 1,
+               "image_feat_size": feat_dim, "max_position_embeddings": 64,
+               "max_action_steps": 16},
+        env={"max_action_len": max_action_len, "max_instr_len": 48,
+             "max_candidates": max_deg, "image_feat_size": feat_dim},
+        train={"batch_size": batch, "lr": 1e-3, "ml_weight": 1.0},
+    )
+    spec = ObsSpec(max_candidates=max_deg, image_feat_size=feat_dim)
+    env = R2RNavEnv(world.graphs, world.feat_db, world.instr_data, spec,
+                    batch_size=batch, max_instr_len=48,
+                    max_action_len=max_action_len, seed=0)
+    agent = HAMTAgent(cfg, env, seed=0)
+    if table:
+        agent.enable_feature_table(env)
+    return env, agent
+
+
+def test_mesh_agent_il_parity(tiny_world):
+    """Mesh-sharded fine-tune IL updates must match single-device ones:
+    identical agents/envs/seeds, one on a data=8 mesh, same losses."""
+    losses = {}
+    for meshed in (False, True):
+        env, agent = _tiny_mesh_agent(tiny_world)
+        if meshed:
+            agent.enable_mesh(make_mesh(num_data=8, num_model=1))
+        losses[meshed] = [agent.train_iteration("teacher")["IL_loss"]
+                          for _ in range(3)]
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_mesh_device_rollout_and_eval_parity(tiny_world):
+    """The device RL rollout and packed greedy eval under a data mesh
+    must reproduce the single-device trajectories exactly (per-row
+    computations are batch-independent; only reductions could differ,
+    and there are none across the batch)."""
+    outs = {}
+    for meshed in (False, True):
+        env, agent = _tiny_mesh_agent(tiny_world)
+        if meshed:
+            agent.enable_mesh(make_mesh(num_data=8, num_model=1))
+        ep, extras = agent.device_rollout_iteration(jax.random.PRNGKey(7))
+        preds = agent.eval_split_packed(env, pipeline=1)
+        outs[meshed] = (
+            np.asarray(ep["actions"]),
+            np.asarray(extras["rewards"]),
+            {p["instr_id"]: [tuple(x) for x in p["trajectory"]]
+             for p in preds},
+        )
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=1e-5, atol=1e-6)
+    assert outs[True][2] == outs[False][2]
+
+
+def test_mesh_agent_tp_sample_step(tiny_world):
+    """Full 'sample' iteration (IL + device rollout + RL replay) under
+    dp x tp: finite losses and a checkpoint round-trip onto the mesh."""
+    import os
+    import tempfile
+
+    env, agent = _tiny_mesh_agent(tiny_world)
+    agent.enable_mesh(make_mesh(num_data=4, num_model=2))
+    out = agent.train_iteration("sample")
+    assert np.isfinite(out["loss"]) and np.isfinite(out["RL_loss"])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.pkl")
+        agent.save(path)
+        step = agent.load(path, resume_optimizer=True)
+        assert step == agent.state.step
+    out2 = agent.train_iteration("teacher")
+    assert np.isfinite(out2["loss"])
 
 
 def test_dryrun_multichip_entry():

@@ -148,6 +148,7 @@ class HAMTAgent:
         self._feat_table = None  # device (N, V, D); enable_feature_table
         self._nav_tables = None  # device nav tables (device rollout)
         self._device_rollout_fn = None
+        self.mesh = None  # jax.sharding.Mesh; enable_mesh
 
     # R2R reward shaping is baked into the device rollout scan; task
     # variants with different rewards keep the host rollout
@@ -176,9 +177,70 @@ class HAMTAgent:
         assert nav_offs == offsets  # same sorted-scan layout
         self._nav_tables = {k: jax.device_put(jnp.asarray(v))
                             for k, v in nav.items()}
+        if self.mesh is not None:  # tables replicate across the mesh
+            from ..parallel.mesh import replicate
+
+            self._feat_table = replicate(self._feat_table, self.mesh)
+            self._nav_tables = replicate(self._nav_tables, self.mesh)
         self._n_scan_max = max(g.num_nodes for g in env.graphs.values())
         self._ref_max = max((len(it["path"]) for it in env.data
                              if "path" in it), default=2)
+
+    def enable_mesh(self, mesh) -> None:
+        """Shard the agent over a ('data', 'model') device mesh.
+
+        TPU-native replacement for the reference's DDP wrap of the
+        fine-tune agent (``agent_cmt.py:54-56`` via
+        ``utils/distributed.py:57-71``): params follow the TP rules over
+        'model' (replicated when mesh.model == 1), episode batches /
+        rollout inputs are sharded over 'data', and GSPMD compiles the
+        gradient all-reduce over ICI into the jitted updates. The
+        device rollout and policy steps run under the same mesh.
+
+        Call BEFORE training (like the DDP wrap): optimizer state is
+        re-initialized from the sharded params. Checkpoint loads after
+        this re-place restored values on the mesh.
+        """
+        from ..parallel.mesh import replicate, shard_params
+
+        assert self.cfg.train.batch_size % mesh.shape["data"] == 0, (
+            f"batch {self.cfg.train.batch_size} not divisible by "
+            f"data={mesh.shape['data']}"
+        )
+        self.mesh = mesh
+        st = self.state
+        params = shard_params(st.params, mesh)
+        cparams = replicate(st.cparams, mesh)
+        self.state = TrainState(
+            params=params,
+            cparams=cparams,
+            opt_state=self.tx.init(params),
+            copt_state=self.ctx.init(cparams),
+            step=st.step,
+        )
+        if self._feat_table is not None:
+            self._feat_table = replicate(self._feat_table, mesh)
+        if self._nav_tables is not None:
+            self._nav_tables = replicate(self._nav_tables, mesh)
+
+    def _shard_data(self, tree, batch_size: Optional[int] = None):
+        """Shard batch-leading leaves over the mesh 'data' axis (no-op
+        without a mesh). Leaves whose leading dim != batch_size (when
+        given) are replicated instead."""
+        if self.mesh is None:
+            return tree
+        from ..parallel.mesh import shard_batch
+
+        return shard_batch(tree, self.mesh, batch_size)
+
+    def _place_like(self, template, tree):
+        """Restore checkpointed values onto the template's shardings."""
+        if self.mesh is None:
+            return tree
+        return jax.tree.map(
+            lambda a, b: jax.device_put(jnp.asarray(b, a.dtype), a.sharding),
+            template, tree,
+        )
 
     # ------------------------------------------------------------------
     def _next_rng(self) -> jax.Array:
@@ -189,7 +251,8 @@ class HAMTAgent:
         return jnp.bfloat16 if self.cfg.model.dtype == "bfloat16" else jnp.float32
 
     def _ep_to_device(self, ep, final_obs: Optional[ObsBatch] = None):
-        return episode_to_device(ep, self._feat_dtype(), final_obs)
+        d = episode_to_device(ep, self._feat_dtype(), final_obs)
+        return self._shard_data(d, batch_size=d["actions"].shape[0])
 
     # ---------------------------------------------------------- losses
     def _il_loss(self, params, cparams, ep, rng, weight, feat_table=None):
@@ -343,12 +406,10 @@ class HAMTAgent:
                 feat_args = dict(
                     pano_feat=None,
                     node_idx=jnp.asarray((feat_offs + obs.node).astype(np.int32)),
-                    feat_table=self._feat_table)
+                )
             else:
                 feat_args = dict(pano_feat=jnp.asarray(obs.pano_feat, fd))
-            a_dev, logits, value, hist_cache, hist_len = self.policy_step(
-                self.state.params, self.state.cparams, txt_embeds, txt_mask,
-                hist_cache, hist_len, t,
+            step_ins = self._shard_data(dict(
                 view_index=jnp.asarray(obs.view_index),
                 cand_point=jnp.asarray(obs.cand_point),
                 cand_ang=jnp.asarray(obs.cand_ang),
@@ -356,8 +417,15 @@ class HAMTAgent:
                 given_action=jnp.asarray(
                     obs.teacher if mode == "teacher"
                     else np.zeros(b, np.int32)),
+                **feat_args,
+            ), batch_size=b)
+            a_dev, logits, value, hist_cache, hist_len = self.policy_step(
+                self.state.params, self.state.cparams, txt_embeds, txt_mask,
+                hist_cache, hist_len, t,
                 rng=step_key(base_rng, t),
-                mode=mode, deterministic=deterministic, **feat_args,
+                mode=mode, deterministic=deterministic,
+                feat_table=self._feat_table if use_table else None,
+                **step_ins,
             )
             a_t = np.asarray(a_dev)
             step_mask[:, t] = live
@@ -434,13 +502,20 @@ class HAMTAgent:
                 self.model, self.critic, self.cfg.model, env.max_action_len,
                 ob_type=self.cfg.env.ob_type, error_margin=env.error_margin)
         txt_ids, txt_mask = env.txt_batch()
+        # batch-leading inputs shard over 'data'; tables are replicated
+        ins = self._shard_data(
+            dict(txt_ids=jnp.asarray(txt_ids), txt_mask=jnp.asarray(txt_mask),
+                 start_node=jnp.asarray((offs + obs.node).astype(np.int32)),
+                 start_view=jnp.asarray(obs.view_index),
+                 offs=jnp.asarray(offs), ref_cost=jnp.asarray(ref_cost),
+                 ref_len=jnp.asarray(ref_len)),
+            batch_size=b)
         return self._device_rollout_fn(
             self.state.params, self.state.cparams,
-            jnp.asarray(txt_ids), jnp.asarray(txt_mask), rng,
+            ins["txt_ids"], ins["txt_mask"], rng,
             self._feat_table, self._nav_tables,
-            jnp.asarray((offs + obs.node).astype(np.int32)),
-            jnp.asarray(obs.view_index), jnp.asarray(offs),
-            jnp.asarray(ref_cost), jnp.asarray(ref_len),
+            ins["start_node"], ins["start_view"], ins["offs"],
+            ins["ref_cost"], ins["ref_len"],
             deterministic=False)
 
     # ------------------------------------------------- rollout hooks
@@ -696,10 +771,14 @@ class HAMTAgent:
         ckptr = ocp.PyTreeCheckpointer()
         blob = ckptr.restore(os.path.abspath(path))
         st = self.state
-        params = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
-                              st.params, blob["params"])
-        cparams = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
-                               st.cparams, blob["cparams"])
+        if self.mesh is not None:
+            params = self._place_like(st.params, blob["params"])
+            cparams = self._place_like(st.cparams, blob["cparams"])
+        else:
+            params = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
+                                  st.params, blob["params"])
+            cparams = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
+                                   st.cparams, blob["cparams"])
         self.state = TrainState(params, cparams, st.opt_state, st.copt_state,
                                 int(blob["step"]))
         return int(blob["step"])
@@ -723,11 +802,17 @@ class HAMTAgent:
         with open(path, "rb") as f:
             blob = pickle.load(f)
         st = self.state
-        params = fser.from_state_dict(st.params, blob["params"])
-        cparams = fser.from_state_dict(st.cparams, blob["cparams"])
+        params = self._place_like(
+            st.params, fser.from_state_dict(st.params, blob["params"]))
+        cparams = self._place_like(
+            st.cparams, fser.from_state_dict(st.cparams, blob["cparams"]))
         if resume_optimizer:
-            opt_state = fser.from_state_dict(st.opt_state, blob["opt_state"])
-            copt_state = fser.from_state_dict(st.copt_state, blob["copt_state"])
+            opt_state = self._place_like(
+                st.opt_state,
+                fser.from_state_dict(st.opt_state, blob["opt_state"]))
+            copt_state = self._place_like(
+                st.copt_state,
+                fser.from_state_dict(st.copt_state, blob["copt_state"]))
         else:
             opt_state, copt_state = st.opt_state, st.copt_state
         self.state = TrainState(params, cparams, opt_state, copt_state,
@@ -795,7 +880,8 @@ class _PackedEvalGroup:
                     cn = int(obs.cand_node[i, c])
                     if cn >= 0 and cn in self.visited[i]:
                         forbid[i, c] = True
-        if env.feat_offsets is not None:
+        use_table = env.feat_offsets is not None
+        if use_table:
             assert a._feat_table is not None, \
                 "env is in feature-table mode but the agent has no table"
             offs = np.array([env.feat_offsets[it["scan"]]
@@ -803,19 +889,25 @@ class _PackedEvalGroup:
             feat_args = dict(
                 pano_feat=None,
                 node_idx=jnp.asarray((offs + obs.node).astype(np.int32)),
-                feat_table=a._feat_table)
+            )
         else:
             feat_args = dict(pano_feat=jnp.asarray(obs.pano_feat, self.fd))
-        self._a_dev, _, _, self.hist_cache, self.hist_len = a.policy_step(
-            a.state.params, a.state.cparams, self.txt_embeds,
-            jnp.asarray(self.txt_mask), self.hist_cache, self.hist_len,
-            jnp.asarray(np.minimum(self.t_vec, self.t_max - 1)),
+        step_ins = a._shard_data(dict(
             view_index=jnp.asarray(obs.view_index),
             cand_point=jnp.asarray(obs.cand_point),
             cand_ang=jnp.asarray(obs.cand_ang),
             live=jnp.asarray(self.active), forbid=jnp.asarray(forbid),
-            given_action=jnp.zeros((b,), jnp.int32), rng=a._next_rng(),
-            mode="argmax", deterministic=True, **feat_args,
+            given_action=jnp.zeros((b,), jnp.int32),
+            **feat_args,
+        ), batch_size=b)
+        self._a_dev, _, _, self.hist_cache, self.hist_len = a.policy_step(
+            a.state.params, a.state.cparams, self.txt_embeds,
+            jnp.asarray(self.txt_mask), self.hist_cache, self.hist_len,
+            jnp.asarray(np.minimum(self.t_vec, self.t_max - 1)),
+            rng=a._next_rng(),
+            mode="argmax", deterministic=True,
+            feat_table=a._feat_table if use_table else None,
+            **step_ins,
         )
 
     def consume(self) -> None:

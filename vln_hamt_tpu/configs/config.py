@@ -137,8 +137,10 @@ class TrainConfig:
     # device-resident feature table for IL episode transport (ship
     # (B,T) node indices; gather features on device)
     feat_table: bool = True
-    # parallelism
-    num_data_shards: int = 1  # data-parallel mesh size
+    # parallelism: ('data', 'model') mesh shape for the fine-tune agent
+    # (run/finetune.py builds the mesh and calls agent.enable_mesh)
+    num_data_shards: int = 1  # data-parallel mesh axis
+    model_shards: int = 1  # tensor-parallel mesh axis (TP rules, parallel/mesh.py)
     # checkpointing
     ckpt_dir: str = "ckpts"
     resume_file: Optional[str] = None

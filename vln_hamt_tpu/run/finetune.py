@@ -196,6 +196,16 @@ def train(
         agent.enable_feature_table(train_env)
         for e in ([aug_env] if aug_env is not None else []) + list(val_envs.values()):
             e.feat_offsets = train_env.feat_offsets
+    # mesh-parallel training (replaces the reference's DDP wrap,
+    # agent_cmt.py:54-56): shard params/batches over a
+    # (num_data_shards, model_shards) mesh; enable BEFORE loading so
+    # restored values land on the mesh
+    if cfg.train.num_data_shards * cfg.train.model_shards > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_data=cfg.train.num_data_shards,
+                         num_model=cfg.train.model_shards)
+        agent.enable_mesh(mesh)
     if resume_file:
         agent.load(resume_file, resume_optimizer=cfg.train.resume_optimizer)
     # config dump (reference save_training_meta, utils/save.py:12-20)
@@ -308,11 +318,22 @@ def parse_args(argv=None):
     p.add_argument("--no_feat_table", action="store_true",
                    help="ship per-episode features instead of the "
                         "device-resident feature table")
+    p.add_argument("--data_shards", type=int, default=None,
+                   help="data-parallel mesh axis (batch sharded over "
+                        "devices; replaces the reference's DDP ranks)")
+    p.add_argument("--model_shards", type=int, default=None,
+                   help="tensor-parallel mesh axis (TP rules from "
+                        "parallel/mesh.py)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-host runtime init (no-op single-process; replaces the
+    # reference's init_distributed NCCL rendezvous, main.py:275-277)
+    from ..parallel.mesh import init_distributed
+
+    init_distributed()
     cfg = get_preset(args.task)
     overrides = {}
     for key in ("batch_size", "lr", "feedback"):
@@ -321,6 +342,10 @@ def main(argv=None):
     overrides["seed"] = args.seed
     if args.no_feat_table:
         overrides["feat_table"] = False
+    if args.data_shards is not None:
+        overrides["num_data_shards"] = args.data_shards
+    if args.model_shards is not None:
+        overrides["model_shards"] = args.model_shards
     cfg = cfg.replace(train=overrides)
     if args.bf16:
         cfg = cfg.replace(model={"dtype": "bfloat16"})
