@@ -249,6 +249,98 @@ def convert_hf_xlmr_state_dict(sd: Mapping[str, Any],
     return p
 
 
+def convert_vit_state_dict(sd: Mapping[str, Any], num_layers: int = 12,
+                           num_heads: int = 12,
+                           grid: Optional[Tuple[int, int]] = None,
+                           patch_size: int = 16) -> Dict:
+    """timm/torch ViT-B/16 state_dict -> flax ``vision/vit.py`` params.
+
+    Implements the reference's checkpoint-ingestion semantics
+    (``pretrain_src/model/vision_transformer.py:399-434``
+    ``checkpoint_filter_fn`` + ``resize_pos_embed``, used by
+    ``preprocess/precompute_img_features_vit.py:69-77``):
+
+    - DeiT-style ``{'model': ...}`` wrappers unwrapped, DDP ``module.``
+      prefixes stripped;
+    - pre-conv patchify weights reshaped to conv form;
+    - position embeddings bilinearly resized when ``grid`` (target
+      patch grid) differs from the checkpoint's.
+
+    The fused torch ``qkv`` (3D, D) projection splits into flax
+    per-head query/key/value kernels (D, H, Dh); the output projection
+    transposes into (H, Dh, D). ``head`` is converted when present.
+    """
+    if "model" in sd and not hasattr(sd["model"], "shape"):
+        sd = sd["model"]  # DeiT checkpoints (checkpoint_filter_fn)
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    sd = {(k[7:] if k.startswith("module.") else k): np.asarray(v)
+          for k, v in sd.items()}
+
+    tree: Dict = {}
+    w = sd["patch_embed.proj.weight"]
+    if w.ndim < 4:  # pre-conv patchify checkpoints
+        w = w.reshape(w.shape[0], -1, patch_size, patch_size)
+    # torch conv (O, I, kh, kw) -> flax (kh, kw, I, O)
+    _set(tree, ("patch_embed", "kernel"), w.transpose(2, 3, 1, 0))
+    _set(tree, ("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+    _set(tree, ("cls_token",), sd["cls_token"])
+
+    pos = sd["pos_embed"]
+    if grid is not None and pos.shape[1] != grid[0] * grid[1] + 1:
+        import jax.numpy as jnp
+
+        from ..vision.vit import resize_pos_embed
+
+        old = int(round((pos.shape[1] - 1) ** 0.5))
+        pos = np.asarray(resize_pos_embed(jnp.asarray(pos), tuple(grid),
+                                          (old, old)))
+    _set(tree, ("pos_embed",), pos)
+
+    d = sd["cls_token"].shape[-1]
+    dh = d // num_heads
+    for i in range(num_layers):
+        tp = f"blocks.{i}"
+        pre = (f"block_{i}",)
+        _layernorm(tree, pre + ("norm1",), sd, f"{tp}.norm1")
+        _layernorm(tree, pre + ("norm2",), sd, f"{tp}.norm2")
+        qkv_w = sd[f"{tp}.attn.qkv.weight"]  # (3D, D) fused
+        qkv_b = sd.get(f"{tp}.attn.qkv.bias")
+        for j, name in enumerate(("query", "key", "value")):
+            wj = qkv_w[j * d:(j + 1) * d]  # (D_out, D_in)
+            _set(tree, pre + ("attn", name, "kernel"),
+                 wj.T.reshape(d, num_heads, dh))
+            if qkv_b is not None:
+                _set(tree, pre + ("attn", name, "bias"),
+                     qkv_b[j * d:(j + 1) * d].reshape(num_heads, dh))
+        _set(tree, pre + ("attn", "out", "kernel"),
+             sd[f"{tp}.attn.proj.weight"].T.reshape(num_heads, dh, d))
+        _set(tree, pre + ("attn", "out", "bias"), sd[f"{tp}.attn.proj.bias"])
+        _linear(tree, pre + ("mlp_fc1",), sd, f"{tp}.mlp.fc1")
+        _linear(tree, pre + ("mlp_fc2",), sd, f"{tp}.mlp.fc2")
+    _layernorm(tree, ("norm",), sd, "norm")
+    if "head.weight" in sd:
+        _linear(tree, ("head",), sd, "head")
+    return tree
+
+
+def load_vit_checkpoint(path: str, model) -> Dict:
+    """Load a torch/timm ViT checkpoint file into params for ``model``
+    (a ``vision.vit.ViT``). Handles ``.pth/.pt`` torch files and ``.npz``
+    numpy archives of the raw state dict."""
+    cfg = model.config
+    if path.endswith(".npz"):
+        sd: Mapping[str, Any] = dict(np.load(path))
+    else:
+        import torch
+
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+        sd = blob if isinstance(blob, dict) else blob.state_dict()
+    return convert_vit_state_dict(sd, num_layers=cfg.num_layers,
+                                  num_heads=cfg.num_heads, grid=cfg.grid,
+                                  patch_size=cfg.patch_size)
+
+
 def merge_params(base: Dict, override: Dict) -> Dict:
     """Deep-merge override into a copy of base (leaves replaced)."""
     out = dict(base)

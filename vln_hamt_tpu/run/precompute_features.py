@@ -89,6 +89,12 @@ def main(argv=None):
     p.add_argument("--vfov_deg", type=float, default=60.0)
     p.add_argument("--panos_per_batch", type=int, default=4)
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--vit_ckpt", default=None,
+                   help="pretrained ViT-B/16 checkpoint (torch/timm .pth "
+                        "or .npz state dict); converted via "
+                        "convert_vit_state_dict (the reference loads timm "
+                        "pretrained weights, "
+                        "precompute_img_features_vit.py:69-77)")
     args = p.parse_args(argv)
 
     import jax
@@ -99,7 +105,12 @@ def main(argv=None):
     h, w = args.image_size
     model = vit_base_patch16(img_size=(h, w),
                              dtype="bfloat16" if args.bf16 else "float32")
-    params = init_vit_params(model, jax.random.PRNGKey(0))
+    if args.vit_ckpt:
+        from ..models.convert import load_vit_checkpoint
+
+        params = load_vit_checkpoint(args.vit_ckpt, model)
+    else:
+        params = init_vit_params(model, jax.random.PRNGKey(0))
     feat = PanoramaFeaturizer(model, params,
                               panos_per_batch=args.panos_per_batch)
 

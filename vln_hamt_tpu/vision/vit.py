@@ -133,5 +133,8 @@ def resize_pos_embed(pos: jnp.ndarray, new_grid: Tuple[int, int],
     cls_tok, grid_tok = pos[:, :1], pos[:, 1:]
     d = pos.shape[-1]
     grid_tok = grid_tok.reshape(1, *old_grid, d)
-    grid_tok = jax.image.resize(grid_tok, (1, *new_grid, d), method="bilinear")
+    # antialias off: parity with torch F.interpolate(mode='bilinear')
+    # in the reference's resize_pos_embed (vision_transformer.py:410-414)
+    grid_tok = jax.image.resize(grid_tok, (1, *new_grid, d),
+                                method="bilinear", antialias=False)
     return jnp.concatenate([cls_tok, grid_tok.reshape(1, -1, d)], axis=1)
