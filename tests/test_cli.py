@@ -28,6 +28,38 @@ def test_finetune_cli_synthetic(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_finetune_cli_valid_only_submit(tmp_path, capsys):
+    """Stand-alone validation + submission dumps (main.py:225-269):
+    train briefly, then --valid_only --submit must evaluate the GT
+    splits, skip metrics on the GT-less test split, and write
+    well-formed submit_{split}.json files."""
+    from vln_hamt_tpu.run.finetune import main
+
+    out = str(tmp_path / "run")
+    main(["--task", "r2r", "--synthetic", "--tiny", "--iters", "3",
+          "--log_every", "3", "--output_dir", out, "--feedback", "teacher"])
+    capsys.readouterr()
+
+    val_out = str(tmp_path / "valid")
+    main(["--task", "r2r", "--synthetic", "--tiny", "--valid_only",
+          "--submit", "--resume_file", os.path.join(out, "latest.pkl"),
+          "--output_dir", val_out])
+    printed = capsys.readouterr().out
+    results = json.loads(printed.strip().splitlines()[-1])["valid"]
+    assert "val_unseen" in results and np.isfinite(results["val_unseen"]["sr"])
+    assert "test" not in results  # GT-less split: no metrics
+    for split in ("val_unseen", "test"):
+        path = os.path.join(val_out, f"submit_{split}.json")
+        assert os.path.exists(path), path
+        preds = json.load(open(path))
+        assert preds and all(
+            {"instr_id", "trajectory"} <= set(p) for p in preds)
+        # trajectory entries are [viewpoint, heading, elevation]
+        assert all(len(step) == 3 for p in preds for step in p["trajectory"])
+    assert os.path.exists(os.path.join(val_out, "valid.txt"))
+
+
+@pytest.mark.slow
 def test_pretrain_cli_synthetic(tmp_path, capsys):
     from vln_hamt_tpu.run.pretrain import main
 
@@ -39,3 +71,65 @@ def test_pretrain_cli_synthetic(tmp_path, capsys):
     printed = capsys.readouterr().out
     assert json.loads(printed.strip().splitlines()[-1])["final_step"] == 4
     assert os.path.exists(os.path.join(out, "model_step_4.pkl"))
+
+
+@pytest.mark.slow
+def test_pretrain_cli_bert_init_and_resume(tmp_path, capsys):
+    """Initialization pathways (main_r2r.py:131-148): trunk init from a
+    real (tiny) HF BERT state dict, rangerlars optimizer routing, and
+    resuming a saved run."""
+    import pickle
+
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel
+
+    from vln_hamt_tpu.run.pretrain import main
+
+    bert = BertModel(BertConfig(
+        vocab_size=30522, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128))
+    bert_path = str(tmp_path / "bert.pt")
+    torch.save(bert.state_dict(), bert_path)
+
+    out = str(tmp_path / "pt")
+    common = ["--synthetic", "--tiny", "--valid_steps", "2",
+              "--batch_size", "2", "--max_hist_len", "4",
+              "--max_txt_len", "24", "--tasks", "mlm", "--mix_ratio", "1",
+              "--optim", "rangerlars", "--output_dir", out]
+    main(["--num_steps", "2", "--bert_init", bert_path] + common)
+    printed = capsys.readouterr().out
+    assert json.loads(printed.strip().splitlines()[-1])["final_step"] == 2
+
+    # the HF word embeddings landed in the trunk (lr is ~0 during the
+    # 2-step warmup slice, so they are near-unchanged in the checkpoint)
+    with open(os.path.join(out, "model_step_2.pkl"), "rb") as f:
+        blob = pickle.load(f)
+    got = np.asarray(
+        blob["params"]["hamt"]["embeddings"]["word_embeddings"]["embedding"])
+    want = bert.state_dict()["embeddings.word_embeddings.weight"].numpy()
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+    main(["--num_steps", "4",
+          "--resume", os.path.join(out, "model_step_2.pkl")] + common)
+    printed = capsys.readouterr().out
+    assert json.loads(printed.strip().splitlines()[-1])["final_step"] == 4
+    assert os.path.exists(os.path.join(out, "model_step_4.pkl"))
+
+
+@pytest.mark.slow
+def test_image_pretrain_cli_synthetic(tmp_path, capsys):
+    """The e2e image-pretraining orchestrator (main_r2r_image.py parity):
+    ViT-in-the-loop training at batch 1 with gradient accumulation."""
+    from vln_hamt_tpu.run.image_pretrain import main
+
+    out = str(tmp_path / "ipt")
+    main(["--synthetic", "--tiny", "--num_steps", "3", "--valid_steps", "3",
+          "--batch_size", "1", "--grad_accum", "2",
+          "--max_hist_len", "3", "--max_txt_len", "16",
+          "--tasks", "mlm", "sap", "--mix_ratio", "1", "1",
+          "--output_dir", out])
+    printed = capsys.readouterr().out
+    assert json.loads(printed.strip().splitlines()[-1])["final_step"] == 3
+    assert os.path.exists(os.path.join(out, "model_step_3.pkl"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))

@@ -86,16 +86,28 @@ def build_pretrain_optimizer(
     grad_norm: Optional[float] = None,
     lookahead_sync: int = 6,
     lookahead_alpha: float = 0.5,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """Optimizer factory (pretrain_src/optim parity).
 
     Names: adamw | adam | radam | ralamb | lookahead(= lookahead-adam) |
     rangerlars (= lookahead(ralamb)).
 
-    Note: lookahead variants expect ``optax.LookaheadParams`` trees; use
-    :func:`wrap_lookahead_params` / handled by PretrainTrainer when
-    selected.
+    ``grad_accum`` composes ``optax.MultiSteps`` INSIDE the lookahead
+    wrapper (accumulation sees plain fast-param trees; lookahead's
+    sync counter then ticks per micro-batch). Clipping applies to the
+    accumulated gradient, as the reference does at step time.
+
+    Note: lookahead variants expect ``optax.LookaheadParams`` trees;
+    PretrainTrainer wraps/unwraps when selected.
     """
+    if name in ("lookahead", "rangerlars"):
+        inner_name = "adam" if name == "lookahead" else "ralamb"
+        inner = build_pretrain_optimizer(inner_name, lr, weight_decay,
+                                         grad_norm=grad_norm,
+                                         grad_accum=grad_accum)
+        return optax.lookahead(inner, sync_period=lookahead_sync,
+                               slow_step_size=lookahead_alpha)
     if name == "adamw":
         opt = optax.adamw(lr, weight_decay=weight_decay)
     elif name == "adam":
@@ -113,14 +125,11 @@ def build_pretrain_optimizer(
             scale_by_trust_ratio(),
             optax.scale_by_learning_rate(lr),
         )
-    elif name in ("lookahead", "rangerlars"):
-        inner_name = "adam" if name == "lookahead" else "ralamb"
-        inner = build_pretrain_optimizer(inner_name, lr, weight_decay)
-        return optax.lookahead(inner, sync_period=lookahead_sync,
-                               slow_step_size=lookahead_alpha)
     else:
         raise ValueError(f"unknown pretrain optimizer {name!r}")
 
     if grad_norm is not None:
         opt = optax.chain(optax.clip_by_global_norm(grad_norm), opt)
+    if grad_accum > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_accum)
     return opt

@@ -3,7 +3,9 @@
 Parity target: ``pretrain_src/main_r2r.py:231-316`` (MetaLoader-driven
 training with mix-ratio task sampling, gradient accumulation,
 warmup-linear LR, periodic per-task validation) and
-``pretrain_src/data/loader.py`` (MetaLoader).
+``pretrain_src/data/loader.py`` (MetaLoader). The same trainer drives
+the end-to-end image model (``main_r2r_image.py:91-262``) by injecting
+``model``/``params`` (HAMTImagePretrain) and an ImagePretrainBatcher.
 
 TPU restructurings:
 - the reference broadcasts the sampled task id from rank 0 over NCCL
@@ -13,6 +15,9 @@ TPU restructurings:
   programs total, each with one fixed batch shape.
 - gradient accumulation via optax.MultiSteps instead of manual
   loss-division bookkeeping (main_r2r.py:243-251).
+- GT/aug stream mixing (the reference's ``r2r_*``/``r2raug_*`` named
+  dataloaders, main_r2r.py:40-92) via a second deterministic draw over
+  named batchers.
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ from __future__ import annotations
 import dataclasses
 from collections import defaultdict
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +34,7 @@ import optax
 
 from ..configs import ModelConfig
 from .model import init_pretrain_params
+from .optim import build_pretrain_optimizer, warmup_linear_schedule
 from .tasks import TASK_NAMES, PretrainBatcher
 
 
@@ -48,22 +54,10 @@ class TaskScheduler:
         return self.tasks[int(rng.choice(len(self.tasks), p=self.p))]
 
 
-def warmup_linear_schedule(lr: float, warmup_steps: int, total_steps: int):
-    """Linear warmup then linear decay to 0 (pretrain optim/sched.py:
-    warmup_linear)."""
-    return optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, lr, warmup_steps),
-            optax.linear_schedule(lr, 0.0, max(total_steps - warmup_steps, 1)),
-        ],
-        [warmup_steps],
-    )
-
-
 @dataclasses.dataclass
 class PretrainState:
-    params: any
-    opt_state: any
+    params: Any
+    opt_state: Any
     step: int = 0
 
 
@@ -83,18 +77,29 @@ class PretrainTrainer:
         seed: int = 0,
         views: int = 36,
         mesh=None,  # jax.sharding.Mesh('data','model'): dp+tp pretraining
+        optim: str = "adamw",  # pretrain_src/optim zoo name
+        weight_decay: float = 0.01,
+        model=None,  # inject HAMTImagePretrain for e2e image pretraining
+        params=None,
+        aug_batcher: Optional[PretrainBatcher] = None,
+        aug_ratio: float = 0.5,  # P(draw from aug stream) when given
     ):
         self.cfg = cfg
         self.batcher = batcher
+        self.aug_batcher = aug_batcher
+        self.aug_ratio = aug_ratio
         self.batch_size = batch_size
         self.scheduler = TaskScheduler(tasks, mix_ratio, seed)
         self.mesh = mesh
 
-        self.model, params = init_pretrain_params(
-            cfg, jax.random.PRNGKey(seed), views=views,
-            max_hist_len=batcher.ds.max_hist_len,
-            instr_len=batcher.ds.max_txt_len,
-        )
+        if model is None:
+            model, params = init_pretrain_params(
+                cfg, jax.random.PRNGKey(seed), views=views,
+                max_hist_len=batcher.ds.max_hist_len,
+                instr_len=batcher.ds.max_txt_len,
+            )
+        assert params is not None, "model injection requires params"
+        self.model = model
         if mesh is not None:
             # the reference scales pretraining with 4-GPU DDP
             # (README.md:53-60); here it's a mesh placement: params get
@@ -105,18 +110,26 @@ class PretrainTrainer:
 
             params = shard_params(params, mesh)
         sched = warmup_linear_schedule(lr, warmup_steps, total_steps)
-        tx = optax.chain(
-            optax.clip_by_global_norm(grad_norm),
-            optax.adamw(sched, weight_decay=0.01),
-        )
-        if grad_accum > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+        # optimizer zoo routing (pretrain_src/optim; the e2e config uses
+        # rangerlars, config/pretrain_r2r_e2e.json:14-24)
+        self._lookahead = optim in ("lookahead", "rangerlars")
+        tx = build_pretrain_optimizer(optim, sched,
+                                      weight_decay=weight_decay,
+                                      grad_norm=grad_norm,
+                                      grad_accum=grad_accum)
         self.tx = tx
+        if self._lookahead:
+            params = self._wrap_lookahead(params)
         self.state = PretrainState(params=params, opt_state=tx.init(params))
         self._rng = jax.random.PRNGKey(seed + 99)
 
-        @partial(jax.jit, static_argnames=("task",), donate_argnames=("params", "opt_state"))
+        lookahead = self._lookahead
+
+        @partial(jax.jit, static_argnames=("task",),
+                 donate_argnames=("params", "opt_state"))
         def _update(params, opt_state, batch, rng, task):
+            fast = params.fast if lookahead else params
+
             def loss_fn(p):
                 loss, aux = self.model.apply(
                     {"params": p}, batch, task, deterministic=False,
@@ -124,7 +137,7 @@ class PretrainTrainer:
                 )
                 return loss, aux
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(fast)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, aux
@@ -146,9 +159,70 @@ class PretrainTrainer:
         self._next_batch = None
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _wrap_lookahead(params):
+        # slow weights must be distinct buffers: the jitted update
+        # donates its params, and aliased fast/slow would donate the
+        # same buffer twice
+        return optax.LookaheadParams(fast=params,
+                                     slow=jax.tree.map(jnp.copy, params))
+
+    @property
+    def params(self):
+        """The evaluation/checkpoint params (fast weights on lookahead)."""
+        p = self.state.params
+        return p.fast if self._lookahead else p
+
+    def set_params(self, params) -> None:
+        """Install externally built params (BERT/checkpoint init,
+        ``main_r2r.py:131-148``) BEFORE training; optimizer state resets."""
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+
+            params = shard_params(params, self.mesh)
+        if self._lookahead:
+            params = self._wrap_lookahead(params)
+        self.state = PretrainState(params=params,
+                                   opt_state=self.tx.init(params),
+                                   step=self.state.step)
+
+    def save(self, path: str) -> None:
+        import pickle
+
+        import flax.serialization as fser
+
+        with open(path, "wb") as f:
+            pickle.dump({"step": self.state.step,
+                         "params": fser.to_state_dict(self.params)}, f)
+
+    def resume(self, path: str) -> int:
+        """Resume model weights from a trainer checkpoint (the
+        reference's --checkpoint path, main_r2r.py:145-148)."""
+        import pickle
+
+        import flax.serialization as fser
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        params = fser.from_state_dict(self.params, blob["params"])
+        self.set_params(params)
+        self.state = dataclasses.replace(self.state, step=int(blob["step"]))
+        return self.state.step
+
+    # ------------------------------------------------------------------
+    def _pick_batcher(self, step: int) -> PretrainBatcher:
+        if self.aug_batcher is None:
+            return self.batcher
+        rng = np.random.default_rng((self.scheduler.seed << 21) + step)
+        return self.aug_batcher if rng.random() < self.aug_ratio else self.batcher
+
     def _build_batch(self, step: int):
         task = self.scheduler.sample(step)
-        return task, self.batcher.batch(task, self.batch_size)
+        if task == "itm" and self.batch_size < 2:
+            # in-batch ITM negatives need >= 2 items; the reference skips
+            # these batches (main_r2r_image.py:239-246) — we resample
+            task = next(t for t in self.scheduler.tasks if t != "itm")
+        return task, self._pick_batcher(step).batch(task, self.batch_size)
 
     def train_step(self, sync: bool = True) -> Tuple[str, Any, Dict[str, Any]]:
         if self._next_batch is None:
@@ -178,18 +252,24 @@ class PretrainTrainer:
     def validate(self, val_batcher: PretrainBatcher,
                  tasks: Optional[Sequence[str]] = None,
                  n_batches: int = 4) -> Dict[str, Dict[str, float]]:
-        """Per-task validation (main_r2r.py:319-511 validators)."""
+        """Per-task validation with cross-host reduction
+        (main_r2r.py:319-511 validators + all_gather)."""
+        from ..parallel.mesh import reduce_dict_mean
+
         out = {}
         for task in tasks or self.scheduler.tasks:
-            losses, accs = [], []
+            if task == "itm" and self.batch_size < 2:
+                continue
+            sums: Dict[str, float] = defaultdict(float)
+            n = 0
             for _ in range(n_batches):
                 batch = val_batcher.batch(task, self.batch_size)
                 batch = jax.tree.map(jnp.asarray, batch)
-                loss, aux = self._eval(self.state.params, batch, task)
-                losses.append(float(loss))
-                if "acc" in aux:
-                    accs.append(float(np.asarray(aux["acc"])))
-            out[task] = {"loss": float(np.mean(losses))}
-            if accs:
-                out[task]["acc"] = float(np.mean(accs))
+                loss, aux = self._eval(self.params, batch, task)
+                sums["loss"] += float(loss)
+                for k, v in aux.items():
+                    sums[k] += float(np.asarray(v))
+                n += 1
+            out[task] = reduce_dict_mean(
+                {k: v / n for k, v in sums.items()})
         return out

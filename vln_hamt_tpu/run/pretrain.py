@@ -92,7 +92,48 @@ def parse_args(argv=None):
                    help="mesh 'data' axis (batch sharding)")
     p.add_argument("--model_shards", type=int, default=1,
                    help="mesh 'model' axis (tensor parallel)")
+    p.add_argument("--optim", default="adamw",
+                   choices=["adamw", "adam", "radam", "ralamb",
+                            "lookahead", "rangerlars"],
+                   help="pretrain_src/optim zoo name")
+    p.add_argument("--bert_init", default=None,
+                   help="HF BERT/XLM-R weights to initialize the trunk "
+                        "(torch state-dict .pt file or HF model dir; "
+                        "main_r2r.py:131-144)")
+    p.add_argument("--bert_type", default="bert", choices=["bert", "xlmr"])
+    p.add_argument("--init_ckpt", default=None,
+                   help="prior pretrain checkpoint to initialize weights "
+                        "from (step resets; reference --checkpoint)")
+    p.add_argument("--resume", default=None,
+                   help="trainer checkpoint to resume training from "
+                        "(weights + step)")
     return p.parse_args(argv)
+
+
+def load_bert_partial(path: str, mcfg: ModelConfig, bert_type: str = "bert"):
+    """HF weights -> partial HAMT trunk tree (main_r2r.py:131-144:
+    BERT init with XLM type-embedding duplication)."""
+    import numpy as np
+
+    from ..models.convert import (
+        convert_hf_bert_state_dict,
+        convert_hf_xlmr_state_dict,
+    )
+
+    if os.path.isdir(path):
+        from transformers import AutoModel
+
+        sd = AutoModel.from_pretrained(path).state_dict()
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if bert_type == "xlmr":
+        return convert_hf_xlmr_state_dict(
+            sd, num_l_layers=mcfg.num_l_layers,
+            max_position_embeddings=mcfg.max_position_embeddings)
+    return convert_hf_bert_state_dict(sd, num_l_layers=mcfg.num_l_layers)
 
 
 def main(argv=None):
@@ -129,10 +170,26 @@ def main(argv=None):
         batch_size=args.batch_size, lr=args.lr,
         warmup_steps=args.warmup_steps, total_steps=args.num_steps,
         grad_accum=args.grad_accum, seed=args.seed, mesh=mesh,
+        optim=args.optim,
     )
+    # initialization pathways (main_r2r.py:131-148): HF BERT/XLM-R
+    # trunk init, a prior checkpoint, or resume
+    if args.bert_init:
+        from ..models.convert import merge_params
+
+        partial = load_bert_partial(args.bert_init, mcfg, args.bert_type)
+        trainer.set_params(merge_params(trainer.params, {"hamt": partial}))
+    if args.init_ckpt:
+        import flax.serialization as fser
+
+        with open(args.init_ckpt, "rb") as f:
+            blob = pickle.load(f)
+        trainer.set_params(
+            fser.from_state_dict(trainer.params, blob["params"]))
+    start_step = trainer.resume(args.resume) if args.resume else 0
     logger = MetricsLogger(args.output_dir)
 
-    for step in range(args.num_steps):
+    for step in range(start_step, args.num_steps):
         task, loss, aux = trainer.train_step()
         if (step + 1) % max(args.valid_steps // 10, 1) == 0:
             logger.log(step + 1, {f"{task}/loss": loss, **{
@@ -142,11 +199,8 @@ def main(argv=None):
             flat = {f"val/{t}/{k}": v for t, stats in val.items()
                     for k, v in stats.items()}
             logger.log(step + 1, flat)
-            ckpt = os.path.join(args.output_dir, f"model_step_{step + 1}.pkl")
-            import flax.serialization as fser
-
-            with open(ckpt, "wb") as f:
-                pickle.dump(fser.to_state_dict(trainer.state.params), f)
+            trainer.save(os.path.join(args.output_dir,
+                                      f"model_step_{step + 1}.pkl"))
     print(json.dumps({"final_step": trainer.state.step}))
 
 
