@@ -26,6 +26,11 @@ ESTIMATED_REFERENCE_EPS = 20.0  # episodes/sec, 1x V100, IL batch 8 (estimate)
 BATCH_SIZE = int(os.environ.get("BENCH_BS", 64))
 WARMUP_STEPS = 2
 MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", 8))
+# the reference's actual training default is feedback='sample'
+# (scripts/run_r2r.sh): IL pass + device RL rollout + replay update per
+# iteration. Measured alongside the IL number; BENCH_SAMPLE=0 skips it.
+SAMPLE_STEPS = int(os.environ.get("BENCH_SAMPLE_STEPS", 4))
+MEASURE_SAMPLE = os.environ.get("BENCH_SAMPLE", "1") == "1"
 
 
 def main() -> None:
@@ -94,12 +99,27 @@ def main() -> None:
 
     steps_per_sec = MEASURE_STEPS / dt
     eps_per_sec = steps_per_sec * BATCH_SIZE
-    print(json.dumps({
+
+    record = {
         "metric": "r2r_il_train_episodes_per_sec_per_chip",
         "value": round(eps_per_sec, 2),
         "unit": "episodes/s",
         "vs_baseline": round(eps_per_sec / ESTIMATED_REFERENCE_EPS, 3),
-    }))
+    }
+
+    if MEASURE_SAMPLE and agent._nav_tables is not None:
+        out = agent.train_iteration("sample", sync=False)  # warmup/compile
+        float(out["loss"])
+        t0 = time.perf_counter()
+        for _ in range(SAMPLE_STEPS):
+            out = agent.train_iteration("sample", sync=False)
+        sample_loss = float(out["loss"])
+        dt = time.perf_counter() - t0
+        assert np.isfinite(sample_loss)
+        record["sample_eps_per_sec"] = round(
+            SAMPLE_STEPS / dt * BATCH_SIZE, 2)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

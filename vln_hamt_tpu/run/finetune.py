@@ -65,7 +65,8 @@ _AGENT_CLS = {
 }
 
 
-def build_synthetic_dataset(cfg: HAMTConfig, seed: int = 0):
+def build_synthetic_dataset(cfg: HAMTConfig, seed: int = 0,
+                            test_split: bool = False):
     """Fixture-backed envs for hermetic runs (no Matterport data)."""
     dataset = cfg.env.dataset
     world = make_synthetic_world(
@@ -111,6 +112,12 @@ def build_synthetic_dataset(cfg: HAMTConfig, seed: int = 0):
 
     train_env = make_env(items[:n_train], "train")
     val_envs = {"val_unseen": make_env(items[n_train:], "val_unseen")}
+    if test_split:
+        # GT-less test items: path truncated to the start viewpoint,
+        # mirroring the official test annotations (r2r/main.py:66-69)
+        test_items = [{**it, "path": it["path"][:1]}
+                      for it in items[n_train:]]
+        val_envs["test"] = make_env(test_items, "test")
     return cfg, train_env, val_envs
 
 
@@ -120,18 +127,34 @@ def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
 
     dataset = cfg.env.dataset
     feat_db = HDF5FeatureDB(args.img_ft_file, cfg.env.image_feat_size)
-    splits = {"train": ["train"], "val_seen": ["val_seen"],
-              "val_unseen": ["val_unseen"]}
+    splits = {"train": ["train"], "val_train_seen": ["val_train_seen"],
+              "val_seen": ["val_seen"]}
+    # R4R's val_unseen is too large to evaluate during training; the
+    # reference substitutes a sampled subset (r2r/main.py:59-63)
+    if dataset == "r4r" and not getattr(args, "test", False):
+        splits["val_unseen_sampled"] = ["val_unseen_sampled"]
+    else:
+        splits["val_unseen"] = ["val_unseen"]
+    if getattr(args, "submit", False):
+        # leaderboard test splits, GT-less (main.py:64-69)
+        for sp in (("test",) if dataset != "rxr"
+                   else ("test_challenge_public", "test_standard_public")):
+            splits[sp] = [sp]
     if args.aug:
         # separate aug env; training alternates GT/aug batches
         # (main.py:150-161)
         splits["aug"] = [args.aug]
 
-    instr = {
-        name: construct_instrs(args.anno_dir, dataset, sp,
-                               max_instr_len=cfg.env.max_instr_len)
-        for name, sp in splits.items()
-    }
+    instr = {}
+    for name, sp in splits.items():
+        try:
+            instr[name] = construct_instrs(
+                args.anno_dir, dataset, sp,
+                max_instr_len=cfg.env.max_instr_len)
+        except FileNotFoundError:
+            if name == "train":
+                raise
+            print(f"split {name}: annotation file missing, skipped")
     scans = sorted({x["scan"] for items in instr.values() for x in items})
     graphs = load_nav_graphs(args.connectivity_dir, scans)
     max_deg = max(g.max_degree for g in graphs.values())
@@ -161,8 +184,9 @@ def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
     if args.aug:
         train_env = (train_env, make_env(instr["aug"], "aug", shard=False))
     val_envs = {
-        name: make_env(instr[name], name, shard=True)
-        for name in ("val_seen", "val_unseen")
+        name: make_env(items, name, shard=True)
+        for name, items in instr.items()
+        if name not in ("train", "aug")
     }
     return cfg, train_env, val_envs
 
@@ -252,7 +276,7 @@ def train(
             logger.log(step, metrics, prefix=f"{name}/")
             write_record(record_file, f"iter {step} {name}: " + ", ".join(
                 f"{k}={v:.2f}" for k, v in metrics.items()))
-            if name == "val_unseen":
+            if name in ("val_unseen", "val_unseen_sampled"):
                 score = selection_score(dataset, metrics)
                 if score > best["score"]:
                     best = {"score": score, "iter": step, **metrics}
@@ -262,13 +286,25 @@ def train(
     return best
 
 
-def valid(cfg: HAMTConfig, ckpt: str, val_envs: Dict[str, object],
+def valid(cfg: HAMTConfig, ckpt: Optional[str], val_envs: Dict[str, object],
           output_dir: str, submit: bool = False,
           no_cand_backtrack: bool = False) -> Dict[str, Dict[str, float]]:
-    """Stand-alone evaluation of a checkpoint (main.py:225-269)."""
+    """Stand-alone evaluation of a checkpoint (main.py:225-269):
+    greedy eval per split, metrics for GT splits, ``submit_{split}.json``
+    dumps, and a valid.txt record file."""
+    os.makedirs(output_dir, exist_ok=True)
+    record_file = os.path.join(output_dir, "valid.txt")
     dataset = cfg.env.dataset
     agent = _AGENT_CLS[dataset](cfg, None, seed=cfg.train.seed)
-    agent.load(ckpt)
+    if ckpt:
+        step = agent.load(ckpt)
+        write_record(record_file, f"loaded {ckpt} at iter {step}")
+    if cfg.train.feat_table and dataset != "reverie" and val_envs:
+        first = next(iter(val_envs.values()))
+        agent.env = first
+        agent.enable_feature_table(first)  # all envs share the graphs
+        for env in val_envs.values():
+            env.feat_offsets = first.feat_offsets
     results = {}
     for name, env in val_envs.items():
         agent.env = env
@@ -277,15 +313,18 @@ def valid(cfg: HAMTConfig, ckpt: str, val_envs: Dict[str, object],
         else:
             preds = agent.eval_split(env, no_cand_backtrack)
         merged = [p for shard in host_allgather(preds) for p in shard]
-        metrics, _ = env.eval_metrics(merged)
-        results[name] = metrics
+        if "test" not in name:  # test splits have no GT (main.py:258-262)
+            metrics, _ = env.eval_metrics(merged)
+            results[name] = metrics
+            write_record(record_file, f"{name}: " + ", ".join(
+                f"{k}={v:.2f}" for k, v in metrics.items()))
         if submit:
             path = os.path.join(output_dir, f"submit_{name}.json")
             with open(path, "w") as f:
                 json.dump(
                     [{"instr_id": p["instr_id"],
                       "trajectory": [[vp, h, e] for vp, h, e in p["trajectory"]]}
-                     for p in merged], f)
+                     for p in merged], f, sort_keys=True, indent=2)
     return results
 
 
@@ -308,6 +347,16 @@ def parse_args(argv=None):
     p.add_argument("--aug", default=None)
     p.add_argument("--resume_file", default=None)
     p.add_argument("--eval_first", action="store_true")
+    p.add_argument("--valid_only", action="store_true",
+                   help="skip training; evaluate --resume_file on the "
+                        "val/test splits (reference valid(), "
+                        "main.py:225-269)")
+    p.add_argument("--submit", action="store_true",
+                   help="dump submit_{split}.json predictions and "
+                        "include the leaderboard test split")
+    p.add_argument("--test", action="store_true",
+                   help="use the full val_unseen for R4R instead of "
+                        "val_unseen_sampled (r2r/main.py:59-63)")
     p.add_argument("--no_cand_backtrack", action="store_true",
                    help="mask already-visited candidates during greedy "
                         "eval (reference parser.py flag)")
@@ -366,7 +415,8 @@ def main(argv=None):
         )
 
     if args.synthetic:
-        cfg, train_env, val_envs = build_synthetic_dataset(cfg, args.seed)
+        cfg, train_env, val_envs = build_synthetic_dataset(
+            cfg, args.seed, test_split=args.submit)
     else:
         assert args.anno_dir and args.connectivity_dir and args.img_ft_file, (
             "real-data runs need --anno_dir --connectivity_dir --img_ft_file "
@@ -374,7 +424,16 @@ def main(argv=None):
         )
         cfg, train_env, val_envs = build_real_dataset(cfg, args)
 
-    best = train(cfg, train_env, val_envs, args.output_dir,
+    if args.valid_only:
+        results = valid(cfg, args.resume_file, val_envs, args.output_dir,
+                        submit=args.submit,
+                        no_cand_backtrack=args.no_cand_backtrack)
+        print(json.dumps({"valid": results}, default=float))
+        return
+
+    # leaderboard test splits are evaluated only in valid_only mode
+    train_val_envs = {k: v for k, v in val_envs.items() if "test" not in k}
+    best = train(cfg, train_env, train_val_envs, args.output_dir,
                  iters=args.iters, log_every=args.log_every,
                  eval_first=args.eval_first, resume_file=args.resume_file,
                  no_cand_backtrack=args.no_cand_backtrack)
