@@ -4,7 +4,6 @@ import pytest
 from vln_hamt_tpu.data.nav_graph import NavGraph
 from vln_hamt_tpu.eval.metrics import (
     aggregate_metrics,
-    batch_ndtw,
     cls_score,
     dtw_scores,
     eval_r2r_item,
@@ -83,20 +82,6 @@ def test_spl_penalizes_long_paths():
     wander = eval_r2r_item(g.dist, [0, 1, 0, 1, 2], [0, 1, 2])
     assert wander["success"] == 1.0
     assert wander["spl"] < direct["spl"]
-
-
-def test_batch_ndtw_matches_scalar():
-    g = _line_graph()
-    rng = np.random.default_rng(1)
-    b, pmax, rmax = 5, 6, 5
-    pred = rng.integers(0, 8, (b, pmax))
-    ref = rng.integers(0, 8, (b, rmax))
-    plen = rng.integers(2, pmax + 1, b)
-    rlen = rng.integers(2, rmax + 1, b)
-    got = batch_ndtw(g.dist, pred, plen, ref, rlen)
-    for i in range(b):
-        want = dtw_scores(g.dist, pred[i, : plen[i]], ref[i, : rlen[i]])["nDTW"]
-        assert got[i] == pytest.approx(want, rel=1e-5)
 
 
 def test_aggregate_metrics_keys():

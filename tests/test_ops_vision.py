@@ -3,26 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vln_hamt_tpu.ops import dtw_ndtw_device, fused_attention
-from vln_hamt_tpu.eval.metrics import dtw_scores
-
-
-def test_device_dtw_matches_host():
-    rng = np.random.default_rng(0)
-    v = 10
-    pos = rng.standard_normal((v, 3)) * 5
-    dist = np.sqrt(((pos[:, None] - pos[None]) ** 2).sum(-1)).astype(np.float32)
-    b, p, r = 4, 6, 5
-    pred = rng.integers(0, v, (b, p))
-    plen = rng.integers(2, p + 1, b)
-    ref = rng.integers(0, v, (b, r))
-    rlen = rng.integers(2, r + 1, b)
-    cost = dist[pred[:, :, None], ref[:, None, :]]
-    got = np.asarray(dtw_ndtw_device(jnp.asarray(cost), jnp.asarray(plen),
-                                     jnp.asarray(rlen)))
-    for i in range(b):
-        want = dtw_scores(dist, pred[i, : plen[i]], ref[i, : rlen[i]])["nDTW"]
-        assert got[i] == pytest.approx(want, abs=1e-4)
+from vln_hamt_tpu.ops import fused_attention
 
 
 def test_fused_attention_matches_reference():

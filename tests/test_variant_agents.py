@@ -98,3 +98,96 @@ def test_reverie_agent(vworld):
     agg, _ = env.eval_metrics(preds)
     for key in ("sr", "rgs", "rgspl"):
         assert np.isfinite(agg[key])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("task", ["r2r_back", "cvdn"])
+def test_variant_device_rollout_matches_host(vworld, task):
+    """The variant reward shapings compiled into the device rollout scan
+    (rollout.py task='r2r_back'/'cvdn') must reproduce the host rollout
+    hooks exactly: logits, actions, visited nodes, rewards, masks, and
+    the bootstrap mask."""
+    if task == "r2r_back":
+        items = make_synthetic_r2rback_items(vworld)
+        env_cls, agent_cls, t_max = R2RBackNavEnv, R2RBackAgent, 16
+    else:
+        items = make_synthetic_cvdn_items(vworld)
+        env_cls, agent_cls, t_max = CVDNNavEnv, CVDNAgent, 10
+    cfg = small_cfg(vworld, max_action_len=t_max)
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates, image_feat_size=32)
+
+    def make():
+        env = env_cls(vworld.graphs, vworld.feat_db, items, spec,
+                      batch_size=4, max_instr_len=32, max_action_len=t_max,
+                      seed=0)
+        agent = agent_cls(cfg, env, seed=0)
+        agent.enable_feature_table()
+        return agent
+
+    rng = jax.random.PRNGKey(42)
+    a1 = make()
+    _, host = a1.interactive_rollout("sample", rng, deterministic=False,
+                                     record_for_replay=True)
+    a2 = make()
+    dev_ep, dev = a2.device_rollout_iteration(rng)
+
+    hl = host["rollout_logits"]
+    t_used = hl.shape[0]
+    dl = np.asarray(dev["rollout_logits"])[:t_used]
+    fin = np.isfinite(hl)
+    np.testing.assert_allclose(dl[fin], hl[fin], rtol=2e-4, atol=2e-4)
+    for k in ("actions", "step_mask", "node_idx", "view_index"):
+        np.testing.assert_array_equal(np.asarray(dev_ep[k]),
+                                      np.asarray(host["ep"][k]), err_msg=k)
+    np.testing.assert_allclose(np.asarray(dev["rewards"]),
+                               np.asarray(host["rewards"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dev["masks"]),
+                                  np.asarray(host["masks"]))
+    np.testing.assert_array_equal(np.asarray(dev["bootstrap_mask"]),
+                                  np.asarray(host["bootstrap_mask"]))
+
+    # end-to-end: identical IL+RL updates through train_iteration
+    a3, a4 = make(), make()
+    a3.device_rollout_rewards = False  # host path
+    h = [float(a3.train_iteration("sample")["loss"]) for _ in range(2)]
+    d = [float(a4.train_iteration("sample")["loss"]) for _ in range(2)]
+    np.testing.assert_allclose(h, d, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_reverie_feature_table_matches_plain(vworld):
+    """REVERIE feature-table transport (pano + node-aligned object
+    tables, device-side gathers + angle computation) must produce
+    bit-identical training updates and eval trajectories."""
+    obj_db, obj2vp = add_synthetic_objects(vworld, obj_feat_size=24, seed=1)
+    cfg = small_cfg(vworld, max_action_len=10,
+                    extra_model={"obj_feat_size": 24})
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates, image_feat_size=32)
+
+    def make(table):
+        env = ReverieNavEnv(vworld.graphs, vworld.feat_db, vworld.instr_data,
+                            spec, batch_size=4, max_instr_len=32,
+                            max_action_len=10, seed=0, obj_db=obj_db,
+                            obj2viewpoint=obj2vp, max_objects=4,
+                            obj_feat_size=24)
+        agent = ReverieAgent(cfg, env, seed=0)
+        if table:
+            agent.enable_feature_table()
+            assert agent._obj_tables is not None
+        return agent
+
+    losses = {}
+    for table in (False, True):
+        agent = make(table)
+        losses[table] = [float(agent.train_iteration("sample")["loss"])
+                         for _ in range(2)]
+    np.testing.assert_allclose(losses[True], losses[False], rtol=2e-5)
+
+    def run_eval(table):
+        agent = make(table)
+        return {p["instr_id"]: ([x[0] for x in p["trajectory"]],
+                                p.get("predObjId"))
+                for p in agent.eval_split()}
+
+    assert run_eval(True) == run_eval(False)

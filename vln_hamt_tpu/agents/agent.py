@@ -222,6 +222,8 @@ class HAMTAgent:
             self._feat_table = replicate(self._feat_table, mesh)
         if self._nav_tables is not None:
             self._nav_tables = replicate(self._nav_tables, mesh)
+        if getattr(self, "_obj_tables", None) is not None:
+            self._obj_tables = replicate(self._obj_tables, mesh)
 
     def _shard_data(self, tree, batch_size: Optional[int] = None):
         """Shard batch-leading leaves over the mesh 'data' axis (no-op
@@ -473,14 +475,18 @@ class HAMTAgent:
         return traj, extras
 
     # ------------------------------------------ device-resident rollout
+    #: reward/termination shaping compiled into the rollout scan
+    #: (rollout.py:build_device_rollout); variant agents override
+    device_rollout_task = "r2r"
+
     def device_rollout_iteration(self, rng: jax.Array):
         """One RL sampling rollout entirely on device.
 
         The host only resets the env (table mode: no feature work) and
-        ships start poses + per-item (N_scan, R) reference-cost slabs;
-        the graph walk, sampling, history, nDTW fidelity reward, and
-        episode recording all run inside one jitted ``lax.scan``
-        (rollout.py:build_device_rollout).
+        ships start poses + the task's per-item cost slabs
+        (:meth:`_device_rollout_inputs`); the graph walk, sampling,
+        history, reward shaping, and episode recording all run inside
+        one jitted ``lax.scan`` (rollout.py:build_device_rollout).
         """
         from .rollout import build_device_rollout
 
@@ -489,6 +495,46 @@ class HAMTAgent:
         b = obs.batch_size
         offs = np.array([env.feat_offsets[it["scan"]] for it in env.batch],
                         np.int32)
+        task_inputs = self._device_rollout_inputs(env, obs)
+        if self._device_rollout_fn is None:
+            self._device_rollout_fn = build_device_rollout(
+                self.model, self.critic, self.cfg.model, env.max_action_len,
+                ob_type=self.cfg.env.ob_type, error_margin=env.error_margin,
+                task=self.device_rollout_task)
+        txt_ids, txt_mask = env.txt_batch()
+        # batch-leading inputs shard over 'data'; tables are replicated
+        ins = self._shard_data(
+            dict(txt_ids=jnp.asarray(txt_ids), txt_mask=jnp.asarray(txt_mask),
+                 start_node=jnp.asarray((offs + obs.node).astype(np.int32)),
+                 start_view=jnp.asarray(obs.view_index),
+                 offs=jnp.asarray(offs),
+                 **{k: jnp.asarray(v) for k, v in task_inputs.items()}),
+            batch_size=b)
+        return self._device_rollout_fn(
+            self.state.params, self.state.cparams,
+            ins["txt_ids"], ins["txt_mask"], rng,
+            self._feat_table, self._nav_tables,
+            ins["start_node"], ins["start_view"], ins["offs"],
+            {k: ins[k] for k in task_inputs},
+            deterministic=False)
+
+    def _goal_cost_slab(self, env, goal_nodes_fn) -> np.ndarray:
+        """(B, N_scan_max) per-node distance to the item's goal set."""
+        b = len(env.batch)
+        slab = np.full((b, self._n_scan_max), np.inf, np.float32)
+        for i, item in enumerate(env.batch):
+            g = env.graphs[item["scan"]]
+            goals = goal_nodes_fn(g, item)
+            slab[i, : g.num_nodes] = (
+                g.dist[:, goals].min(axis=1) if len(goals) > 1
+                else g.dist[:, goals[0]])
+        return slab
+
+    def _device_rollout_inputs(self, env, obs) -> Dict[str, np.ndarray]:
+        """Per-item cost slabs for the in-scan reward (R2R: nDTW
+        reference costs; variants override, matching their host
+        ``_step_rewards``)."""
+        b = obs.batch_size
         n_max, r_max = self._n_scan_max, self._ref_max
         ref_cost = np.full((b, n_max, r_max), np.inf, np.float32)
         ref_len = np.zeros((b,), np.int32)
@@ -497,26 +543,7 @@ class HAMTAgent:
             ref = g.indices(item["path"])
             ref_len[i] = len(ref)
             ref_cost[i, : g.num_nodes, : len(ref)] = g.dist[:, ref]
-        if self._device_rollout_fn is None:
-            self._device_rollout_fn = build_device_rollout(
-                self.model, self.critic, self.cfg.model, env.max_action_len,
-                ob_type=self.cfg.env.ob_type, error_margin=env.error_margin)
-        txt_ids, txt_mask = env.txt_batch()
-        # batch-leading inputs shard over 'data'; tables are replicated
-        ins = self._shard_data(
-            dict(txt_ids=jnp.asarray(txt_ids), txt_mask=jnp.asarray(txt_mask),
-                 start_node=jnp.asarray((offs + obs.node).astype(np.int32)),
-                 start_view=jnp.asarray(obs.view_index),
-                 offs=jnp.asarray(offs), ref_cost=jnp.asarray(ref_cost),
-                 ref_len=jnp.asarray(ref_len)),
-            batch_size=b)
-        return self._device_rollout_fn(
-            self.state.params, self.state.cparams,
-            ins["txt_ids"], ins["txt_mask"], rng,
-            self._feat_table, self._nav_tables,
-            ins["start_node"], ins["start_view"], ins["offs"],
-            ins["ref_cost"], ins["ref_len"],
-            deterministic=False)
+        return {"ref_cost": ref_cost, "ref_len": ref_len}
 
     # ------------------------------------------------- rollout hooks
     # Task-variant agents override these; defaults implement the R2R

@@ -49,10 +49,17 @@ def _full_logits(act_logits: jnp.ndarray, obj_logits: jnp.ndarray,
     return jnp.concatenate([act, max_obj], axis=1)
 
 
+def _obj_angle_table(angle_feat_size: int):
+    from ..data.angle import all_point_angle_feature
+
+    return jnp.asarray(all_point_angle_feature(angle_feat_size))
+
+
 def build_ref_policy_step(model: HAMT, critic, cfg, stop_slot: int):
     from .rollout import make_expand_obs
 
     expand_obs = make_expand_obs(36, cfg.angle_feat_size)
+    ang_tab = _obj_angle_table(cfg.angle_feat_size)  # (36, 36, A)
 
     @partial(jax.jit, static_argnames=("mode", "deterministic"),
              donate_argnames=("hist_cache",))
@@ -60,7 +67,18 @@ def build_ref_policy_step(model: HAMT, critic, cfg, stop_slot: int):
                     hist_len, t, pano_feat, view_index, cand_point, cand_ang,
                     obj_fts, obj_angs, obj_pos, obj_mask,
                     live, forbid, given_action,
-                    rng, mode="argmax", deterministic=True):
+                    rng, mode="argmax", deterministic=True,
+                    node_idx=None, feat_table=None, obj_tables=None):
+        if node_idx is not None:
+            # feature-table transport: pano row + object row gathered on
+            # device; relative object angles from the (36,36,A) table
+            pano_feat = feat_table[node_idx]
+            obj_fts = obj_tables["fts"][node_idx]
+            obj_pos = obj_tables["pos"][node_idx]
+            obj_mask = obj_tables["mask"][node_idx]
+            ov = obj_tables["view"][node_idx]
+            obj_angs = jnp.where(obj_mask[..., None],
+                                 ang_tab[view_index[:, None], ov], 0.0)
         h_max = hist_cache.shape[1]
         k_plan, k_critic, k_hist, k_act = jax.random.split(rng, 4)
         apply = partial(model.apply, {"params": params})
@@ -110,8 +128,32 @@ def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
     from .rollout import make_expand_obs
 
     expand_obs = make_expand_obs(36, cfg.angle_feat_size)
+    ang_tab = _obj_angle_table(cfg.angle_feat_size)
 
-    def episode_forward(params, cparams, ep, rng, deterministic=False):
+    def episode_forward(params, cparams, ep, rng, deterministic=False,
+                        feat_table=None, obj_tables=None):
+        if "node_idx" in ep:
+            ep = dict(ep)
+            ni = ep["node_idx"]
+            ep["pano_feat"] = feat_table[ni]
+            ep["obj_fts"] = obj_tables["fts"][ni]
+            ep["obj_pos"] = obj_tables["pos"][ni]
+            om = obj_tables["mask"][ni]
+            ov = obj_tables["view"][ni]
+            ep["obj_mask"] = om
+            ep["obj_angs"] = jnp.where(
+                om[..., None], ang_tab[ep["view_index"][..., None], ov], 0.0)
+            if "final_node_idx" in ep:
+                fi = ep["final_node_idx"]
+                ep["final_pano_feat"] = feat_table[fi]
+                ep["final_obj_fts"] = obj_tables["fts"][fi]
+                ep["final_obj_pos"] = obj_tables["pos"][fi]
+                fom = obj_tables["mask"][fi]
+                fov = obj_tables["view"][fi]
+                ep["final_obj_mask"] = fom
+                ep["final_obj_angs"] = jnp.where(
+                    fom[..., None],
+                    ang_tab[ep["final_view_index"][..., None], fov], 0.0)
         txt_ids, txt_mask = ep["txt_ids"], ep["txt_mask"]
         b, t_steps = ep["actions"].shape
         h_max = t_steps + 1
@@ -215,11 +257,38 @@ class ReverieAgent(HAMTAgent):
             self.model, self.critic, mcfg, self.stop_slot)
         self._ref_il_rl_update = jax.jit(self._ref_il_rl_update_fn)
         self._ref_il_update = jax.jit(self._ref_il_update_fn)
+        self._obj_tables = None  # device object tables (feature-table mode)
+
+    def enable_feature_table(self, env=None) -> None:
+        """Feature-table transport for REVERIE: the pano table plus a
+        node-aligned object table (features/view-index/bbox-pos/mask),
+        so episodes and policy steps ship only (B[,T]) int32 rows."""
+        from ..data.feature_db import build_object_table
+
+        super().enable_feature_table(env)
+        env = env or self.env
+        tables, offsets = build_object_table(
+            env.graphs, env.obj_db, env.max_objects, env.obj_feat_size,
+            env._obj_local_pos)
+        assert offsets == env.feat_offsets  # same sorted-scan layout
+        fd = self._feat_dtype()
+        self._obj_tables = {
+            "fts": jax.device_put(jnp.asarray(tables["fts"], fd)),
+            "view": jax.device_put(jnp.asarray(tables["view"])),
+            "pos": jax.device_put(jnp.asarray(tables["pos"])),
+            "mask": jax.device_put(jnp.asarray(tables["mask"])),
+        }
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self._obj_tables = replicate(self._obj_tables, self.mesh)
 
     # ------------------------------------------------------------ losses
-    def _ref_il_loss(self, params, cparams, ep, rng, weight):
-        out, obj_logits = self.episode_forward_ref(params, cparams, ep, rng,
-                                                   deterministic=False)
+    def _ref_il_loss(self, params, cparams, ep, rng, weight,
+                     feat_table=None, obj_tables=None):
+        out, obj_logits = self.episode_forward_ref(
+            params, cparams, ep, rng, deterministic=False,
+            feat_table=feat_table, obj_tables=obj_tables)
         teacher = jnp.moveaxis(ep["teacher"], 0, 1)  # (T, B)
         ref_teacher = jnp.moveaxis(ep["ref_teacher"], 0, 1)  # (T, B)
         b = ep["actions"].shape[0]
@@ -229,11 +298,12 @@ class ReverieAgent(HAMTAgent):
         return loss, {"IL_loss": loss}
 
     def _ref_rl_loss(self, params, cparams, ep, rewards, masks,
-                     bootstrap_mask, rng):
+                     bootstrap_mask, rng, feat_table=None, obj_tables=None):
         from .losses import a2c_loss
 
-        out, _ = self.episode_forward_ref(params, cparams, ep, rng,
-                                          deterministic=False)
+        out, _ = self.episode_forward_ref(
+            params, cparams, ep, rng, deterministic=False,
+            feat_table=feat_table, obj_tables=obj_tables)
         actions = jnp.moveaxis(ep["actions"], 0, 1)
         tcfg = self.cfg.train
         last_value = jnp.where(bootstrap_mask, out.last_value, 0.0)
@@ -245,11 +315,12 @@ class ReverieAgent(HAMTAgent):
         return loss, aux
 
     def _ref_il_update_fn(self, params, cparams, opt_state, copt_state, ep,
-                          rng, weight):
+                          rng, weight, feat_table=None, obj_tables=None):
         import optax
 
         def loss_fn(p, c):
-            return self._ref_il_loss(p, c, ep, rng, weight)
+            return self._ref_il_loss(p, c, ep, rng, weight, feat_table,
+                                     obj_tables)
 
         (loss, aux), (gp, gc) = jax.value_and_grad(loss_fn, argnums=(0, 1),
                                                    has_aux=True)(params, cparams)
@@ -261,13 +332,16 @@ class ReverieAgent(HAMTAgent):
 
     def _ref_il_rl_update_fn(self, params, cparams, opt_state, copt_state,
                              il_ep, il_rng, il_weight, rl_ep, rewards, masks,
-                             bootstrap_mask, rl_rng):
+                             bootstrap_mask, rl_rng, feat_table=None,
+                             obj_tables=None):
         import optax
 
         def loss_fn(p, c):
-            l1, a1 = self._ref_il_loss(p, c, il_ep, il_rng, il_weight)
+            l1, a1 = self._ref_il_loss(p, c, il_ep, il_rng, il_weight,
+                                       feat_table, obj_tables)
             l2, a2 = self._ref_rl_loss(p, c, rl_ep, rewards, masks,
-                                       bootstrap_mask, rl_rng)
+                                       bootstrap_mask, rl_rng, feat_table,
+                                       obj_tables)
             return l1 + l2, {**a1, **a2}
 
         (loss, aux), (gp, gc) = jax.value_and_grad(loss_fn, argnums=(0, 1),
@@ -299,37 +373,62 @@ class ReverieAgent(HAMTAgent):
         return teacher.astype(np.int32), ref
 
     def _stack_ref_episode(self, obs_list, txt_ids, txt_mask, actions,
-                           step_mask, teacher, ref_teacher, final_obs=None):
+                           step_mask, teacher, ref_teacher, final_obs=None,
+                           feat_offs=None):
         fd = self._feat_dtype()
         stack = lambda attr: np.stack([getattr(o, attr) for o in obs_list], axis=1)
         d = {
             "txt_ids": txt_ids, "txt_mask": txt_mask,
-            "pano_feat": jnp.asarray(stack("pano_feat"), fd),
             "view_index": stack("view_index"),
             "cand_point": stack("cand_point"),
             "cand_ang": stack("cand_ang"),
-            "obj_fts": stack("obj_fts"), "obj_angs": stack("obj_angs"),
-            "obj_pos": stack("obj_pos"), "obj_mask": stack("obj_mask"),
             "actions": actions, "step_mask": step_mask,
             "teacher": teacher, "ref_teacher": ref_teacher,
         }
+        if feat_offs is not None:
+            # feature-table mode: (B, T) rows address the pano AND
+            # object tables on device
+            d["node_idx"] = np.stack(
+                [feat_offs + o.node for o in obs_list], axis=1
+            ).astype(np.int32)
+        else:
+            d.update(
+                pano_feat=jnp.asarray(stack("pano_feat"), fd),
+                obj_fts=stack("obj_fts"), obj_angs=stack("obj_angs"),
+                obj_pos=stack("obj_pos"), obj_mask=stack("obj_mask"),
+            )
         if final_obs is not None:
             d.update(
-                final_pano_feat=jnp.asarray(final_obs.pano_feat, fd),
                 final_view_index=final_obs.view_index,
                 final_cand_point=final_obs.cand_point,
                 final_cand_ang=final_obs.cand_ang,
-                final_obj_fts=final_obs.obj_fts, final_obj_angs=final_obs.obj_angs,
-                final_obj_pos=final_obs.obj_pos, final_obj_mask=final_obs.obj_mask,
             )
-        return jax.tree.map(jnp.asarray, d)
+            if feat_offs is not None:
+                d["final_node_idx"] = (feat_offs
+                                       + final_obs.node).astype(np.int32)
+            else:
+                d.update(
+                    final_pano_feat=jnp.asarray(final_obs.pano_feat, fd),
+                    final_obj_fts=final_obs.obj_fts,
+                    final_obj_angs=final_obs.obj_angs,
+                    final_obj_pos=final_obs.obj_pos,
+                    final_obj_mask=final_obs.obj_mask,
+                )
+        d = jax.tree.map(jnp.asarray, d)
+        return self._shard_data(d, batch_size=actions.shape[0])
 
     # --------------------------------------------------------- rollout
     def interactive_rollout(self, mode, base_rng, deterministic,
                             record_for_replay=False, no_cand_backtrack=False):
         env = self.env
         stop = self.ref_stop
+        use_table = getattr(env, "feat_offsets", None) is not None
+        if use_table:
+            assert self._feat_table is not None and self._obj_tables is not None
         obs = env.reset()
+        feat_offs = (np.array([env.feat_offsets[it["scan"]]
+                               for it in env.batch], np.int64)
+                     if use_table else None)
         b = obs.batch_size
         t_max = env.max_action_len
 
@@ -371,20 +470,34 @@ class ReverieAgent(HAMTAgent):
                             forbid[i, c] = True
             live = ~ended
             fd = self._feat_dtype()
+            if use_table:
+                feat_args = dict(
+                    pano_feat=None, obj_fts=None, obj_angs=None,
+                    obj_pos=None, obj_mask=None,
+                    node_idx=jnp.asarray(
+                        (feat_offs + obs.node).astype(np.int32)),
+                    feat_table=self._feat_table,
+                    obj_tables=self._obj_tables)
+            else:
+                feat_args = dict(
+                    pano_feat=jnp.asarray(obs.pano_feat, fd),
+                    obj_fts=jnp.asarray(obs.obj_fts),
+                    obj_angs=jnp.asarray(obs.obj_angs),
+                    obj_pos=jnp.asarray(obs.obj_pos),
+                    obj_mask=jnp.asarray(obs.obj_mask))
             a_dev, logits, obj_logits, value, hist_cache, hist_len = (
                 self.policy_step_ref(
                     self.state.params, self.state.cparams, txt_embeds,
                     txt_mask, hist_cache, hist_len, t,
-                    jnp.asarray(obs.pano_feat, fd),
-                    jnp.asarray(obs.view_index),
-                    jnp.asarray(obs.cand_point), jnp.asarray(obs.cand_ang),
-                    jnp.asarray(obs.obj_fts), jnp.asarray(obs.obj_angs),
-                    jnp.asarray(obs.obj_pos), jnp.asarray(obs.obj_mask),
-                    jnp.asarray(live), jnp.asarray(forbid),
-                    jnp.asarray(teacher_t if mode == "teacher"
-                                else np.zeros(b, np.int32)),
-                    step_key(base_rng, t), mode=mode,
-                    deterministic=deterministic,
+                    view_index=jnp.asarray(obs.view_index),
+                    cand_point=jnp.asarray(obs.cand_point),
+                    cand_ang=jnp.asarray(obs.cand_ang),
+                    live=jnp.asarray(live), forbid=jnp.asarray(forbid),
+                    given_action=jnp.asarray(
+                        teacher_t if mode == "teacher"
+                        else np.zeros(b, np.int32)),
+                    rng=step_key(base_rng, t), mode=mode,
+                    deterministic=deterministic, **feat_args,
                 )
             )
             a_t = np.asarray(a_dev)
@@ -429,7 +542,8 @@ class ReverieAgent(HAMTAgent):
                 obs_list.append(obs_list[-1])
             ep = self._stack_ref_episode(
                 obs_list, txt_ids, txt_mask, actions_rec, step_mask,
-                teacher_rec, ref_teacher_rec, final_obs=obs)
+                teacher_rec, ref_teacher_rec, final_obs=obs,
+                feat_offs=feat_offs)
             extras = {
                 "ep": ep,
                 "rewards": jnp.asarray(rewards),
@@ -452,7 +566,9 @@ class ReverieAgent(HAMTAgent):
             rng = self._next_rng()
             params, cparams, opt_state, copt_state, loss, aux = (
                 self._ref_il_update(st.params, st.cparams, st.opt_state,
-                                    st.copt_state, ep, rng, tcfg.teacher_weight))
+                                    st.copt_state, ep, rng,
+                                    tcfg.teacher_weight,
+                                    self._feat_table, self._obj_tables))
         elif feedback == "sample":
             il_ep = self._ref_teacher_episode()
             il_rng = self._next_rng()
@@ -465,7 +581,8 @@ class ReverieAgent(HAMTAgent):
                     st.params, st.cparams, st.opt_state, st.copt_state,
                     il_ep, il_rng, tcfg.ml_weight, extras["ep"],
                     extras["rewards"], extras["masks"],
-                    extras["bootstrap_mask"], rl_rng))
+                    extras["bootstrap_mask"], rl_rng,
+                    self._feat_table, self._obj_tables))
         else:
             raise ValueError(feedback)
         from .agent import TrainState
@@ -482,7 +599,11 @@ class ReverieAgent(HAMTAgent):
     def _ref_teacher_episode(self):
         """Teacher-forced episode with object arrays and dual targets."""
         env = self.env
+        use_table = getattr(env, "feat_offsets", None) is not None
         obs = env.reset()
+        feat_offs = (np.array([env.feat_offsets[it["scan"]]
+                               for it in env.batch], np.int64)
+                     if use_table else None)
         b = obs.batch_size
         t_max = env.max_action_len
         stop = self.ref_stop
@@ -514,4 +635,5 @@ class ReverieAgent(HAMTAgent):
 
         txt_ids, txt_mask = env.txt_batch()
         return self._stack_ref_episode(obs_list, txt_ids, txt_mask, actions,
-                                       step_mask, teacher, ref_teacher)
+                                       step_mask, teacher, ref_teacher,
+                                       feat_offs=feat_offs)

@@ -407,7 +407,7 @@ def _dp_extend(dp, cost):
 
 def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                          t_max: int, ob_type: str = "pano",
-                         error_margin: float = 3.0):
+                         error_margin: float = 3.0, task: str = "r2r"):
     """The WHOLE RL sampling rollout as one jitted device program.
 
     The reference's rollout makes ``t_max`` Python/simulator/GPU round
@@ -416,27 +416,38 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
     HBM, the graph transition is a gather, the nDTW fidelity reward is
     an O(R) DP row extension, and the distance reward is a table
     column read — so the sampling loop becomes a ``lax.scan`` with ZERO
-    host involvement. The host ships only start poses and the per-item
-    (N_scan, R) reference-cost slabs.
+    host involvement. The host ships only start poses and per-item cost
+    slabs.
 
-    Rewards mirror HAMTAgent._step_rewards exactly (R2R shaping:
-    agent_cmt.py:407-445); dropout/sampling keys mirror the host loop
-    (step_key(base, t), same split order via the shared policy core),
-    so logits and trajectories are bit-comparable with the host rollout.
+    ``task`` selects the reward/termination shaping, mirroring the host
+    agents exactly (parity-tested):
+    - 'r2r': HAMTAgent._step_rewards (agent_cmt.py:407-445); inputs
+      ``ref_cost (B, N_scan, R)`` + ``ref_len (B,)``.
+    - 'cvdn': CVDNAgent (cvdn/agent.py:173-203) — no nDTW, exact-goal
+      stop bonus, signed unit move reward; input ``goal_cost (B, N)``
+      (min distance to any end pano).
+    - 'r2r_back': R2RBackAgent (agent_r2rback.py:233-277) — two-phase
+      distance (midstop then goal), failed (mid)stop force-ends the
+      episode; inputs ``ref_cost``/``ref_len`` + ``mid_cost (B, N)`` +
+      ``goal_cost (B, N)``.
+
+    Dropout/sampling keys mirror the host loop (step_key(base, t), same
+    split order via the shared policy core), so logits and trajectories
+    are bit-comparable with the host rollout.
 
     Returns device_rollout(params, cparams, txt_ids, txt_mask, rng,
         feat_table, nav (dict), start_node (B,) GLOBAL, start_view (B,),
-        offs (B,), ref_cost (B, N_scan_max, R_max), ref_len (B,),
-        deterministic)
+        offs (B,), task_inputs (dict, see above), deterministic)
       -> (ep dict for scan replay, extras dict)
     """
     expand_obs = make_expand_obs(36, cfg.angle_feat_size, ob_type)
     core = _make_policy_core(model, critic, expand_obs)
+    use_ndtw = task in ("r2r", "r2r_back")
 
     @partial(jax.jit, static_argnames=("deterministic",))
     def device_rollout(params, cparams, txt_ids, txt_mask, rng,
                        feat_table, nav, start_node, start_view, offs,
-                       ref_cost, ref_len, deterministic: bool = False):
+                       task_inputs, deterministic: bool = False):
         b = start_node.shape[0]
         stop = nav["nbr_global"].shape[1]  # slot layout: [C cands | STOP | pano]
         apply = partial(model.apply, {"params": params})
@@ -451,13 +462,31 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
         hist_len = jnp.ones((b,), jnp.int32)
 
         bi = jnp.arange(b)
-        rl = ref_len.astype(jnp.int32)
 
-        def cost_at(node):  # (B, R) dist(node, ref_j)
-            return ref_cost[bi, node - offs]
+        if use_ndtw:
+            ref_cost = task_inputs["ref_cost"]
+            rl = task_inputs["ref_len"].astype(jnp.int32)
 
-        def ndtw_val(dp):
-            return jnp.exp(-dp[bi, rl] / (error_margin * rl.astype(jnp.float32)))
+            def ref_cost_at(node):  # (B, R) dist(node, ref_j)
+                return ref_cost[bi, node - offs]
+
+            def ndtw_val(dp):
+                return jnp.exp(-dp[bi, rl]
+                               / (error_margin * rl.astype(jnp.float32)))
+
+        if task == "r2r":
+            def goal_dist(node):  # dist to the last reference node
+                return ref_cost_at(node)[bi, rl - 1]
+        else:
+            goal_cost = task_inputs["goal_cost"]
+
+            def goal_dist(node):
+                return goal_cost[bi, node - offs]
+        if task == "r2r_back":
+            mid_cost = task_inputs["mid_cost"]
+
+            def mid_dist(node):
+                return mid_cost[bi, node - offs]
 
         def cand_tables(node, view):
             cg = nav["nbr_global"][node]  # (B, C)
@@ -470,17 +499,83 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
             ang = jnp.where(valid[:, :, None], ang, 0.0)
             return cg, valid, cp, ang
 
-        # initial nDTW DP row: closed column 0, then the start node
-        dp0 = jnp.full((b, ref_cost.shape[2] + 1), jnp.inf).at[:, 0].set(0.0)
-        dp0 = _dp_extend(dp0, cost_at(start_node))
-        last_ndtw0 = ndtw_val(dp0)
-        last_dist0 = cost_at(start_node)[bi, rl - 1]
+        # task-specific reward state carried through the scan
+        rstate = {}
+        if use_ndtw:
+            # initial nDTW DP row: closed column 0, then the start node
+            dp0 = jnp.full((b, ref_cost.shape[2] + 1),
+                           jnp.inf).at[:, 0].set(0.0)
+            dp0 = _dp_extend(dp0, ref_cost_at(start_node))
+            rstate["dp"] = dp0
+            rstate["last_ndtw"] = ndtw_val(dp0)
+        if task == "r2r_back":
+            # phase-1 goal is the midstop (agent_r2rback.py:234-237)
+            rstate["last_dist"] = mid_dist(start_node)
+            rstate["first_ended"] = jnp.zeros((b,), bool)
+            rstate["force_ended"] = jnp.zeros((b,), bool)
+        else:
+            rstate["last_dist"] = goal_dist(start_node)
+
+        def reward_and_end(st, ended, live, action, new_node):
+            stopped = action == stop
+            st_new = dict(st)
+            if use_ndtw:
+                # host parity: the prediction path (nDTW DP) extends
+                # whenever env_actions >= 0, i.e. live and not STOP —
+                # even for no-op picks of non-candidate slots
+                extend = live & ~stopped
+                dp_new = _dp_extend(st["dp"], ref_cost_at(new_node))
+                dp = jnp.where(extend[:, None], dp_new, st["dp"])
+                cur_ndtw = ndtw_val(dp)
+                nr = cur_ndtw - st["last_ndtw"]
+                st_new.update(dp=dp, last_ndtw=cur_ndtw)
+            if task == "r2r_back":
+                # phase dist uses PRE-update first_ended (rewards are
+                # computed before _update_ended on the host)
+                dist = jnp.where(st["first_ended"], goal_dist(new_node),
+                                 mid_dist(new_node))
+            else:
+                dist = goal_dist(new_node)
+            delta = -(dist - st["last_dist"])
+
+            if task == "cvdn":
+                # cvdn/agent.py:173-203: exact-goal stop bonus, signed
+                # unit move reward, no miss penalty, no nDTW
+                stop_r = jnp.where(dist == 0.0, 2.0, -2.0)
+                move_r = jnp.where(delta > 0.0, 1.0,
+                                   jnp.where(delta < 0.0, -1.0, 0.0))
+            else:
+                stop_r = jnp.where(dist < error_margin,
+                                   2.0 + cur_ndtw * 2.0, -2.0)
+                move_r = jnp.where(delta > 0.0, 1.0 + nr, -1.0 + nr)
+                miss = (st["last_dist"] <= 1.0) & (dist - st["last_dist"] > 0.0)
+                move_r = move_r - jnp.where(miss,
+                                            (1.0 - st["last_dist"]) * 2.0, 0.0)
+            reward = jnp.where(stopped, stop_r, move_r)
+            reward = jnp.where(live, reward, 0.0).astype(jnp.float32)
+
+            if task == "r2r_back":
+                # failing the (mid)stop force-ends the episode in RL
+                # (agent_r2rback.py:254-256); after the midstop the
+                # tracked distance switches to the final goal (:270-273)
+                force = st["force_ended"] | (live & stopped
+                                             & (dist >= error_margin))
+                st_new["last_dist"] = jnp.where(
+                    live & stopped & ~st["first_ended"],
+                    goal_dist(new_node), dist)
+                st_new["force_ended"] = force
+                st_new["first_ended"] = st["first_ended"] | stopped
+                new_ended = ended | (st["first_ended"] & stopped) | force
+            else:
+                st_new["last_dist"] = dist
+                new_ended = ended | stopped
+            return reward, st_new, new_ended
 
         forbid = jnp.zeros((b, stop + 1 + 36), bool)
         zeros_i = jnp.zeros((b,), jnp.int32)
 
         def body(carry, x):
-            ended, node, view, hist_cache, hist_len, dp, last_dist, last_ndtw = carry
+            ended, node, view, hist_cache, hist_len, rstate = carry
             t, key = x
             live = ~ended
             cg, valid, cand_point, cand_ang = cand_tables(node, view)
@@ -500,36 +595,18 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                 moved, jnp.take_along_axis(cand_point, slot[:, None], 1)[:, 0],
                 view)
 
-            # host parity: the prediction path (nDTW DP) extends whenever
-            # env_actions >= 0, i.e. live and not STOP — even for no-op
-            # picks of non-candidate slots (agent.py rollout loop)
-            extend = live & (action != stop)
-            dp_new = _dp_extend(dp, cost_at(new_node))
-            dp = jnp.where(extend[:, None], dp_new, dp)
-            cur_ndtw = ndtw_val(dp)
-            dist = cost_at(new_node)[bi, rl - 1]
+            reward, rstate, new_ended = reward_and_end(
+                rstate, ended, live, action, new_node)
 
-            # R2R reward shaping (_step_rewards; agent_cmt.py:407-445)
-            stop_r = jnp.where(dist < error_margin,
-                               2.0 + cur_ndtw * 2.0, -2.0)
-            delta = -(dist - last_dist)
-            nr = cur_ndtw - last_ndtw
-            move_r = jnp.where(delta > 0.0, 1.0 + nr, -1.0 + nr)
-            miss = (last_dist <= 1.0) & (dist - last_dist > 0.0)
-            move_r = move_r - jnp.where(miss, (1.0 - last_dist) * 2.0, 0.0)
-            reward = jnp.where(action == stop, stop_r, move_r)
-            reward = jnp.where(live, reward, 0.0).astype(jnp.float32)
-
-            new_ended = ended | (action == stop)
             carry = (new_ended, new_node, new_view, hist_cache, hist_len,
-                     dp, dist, cur_ndtw)
+                     rstate)
             ys = (rec_action, logits, value, reward, live,
                   node, view, cand_point, cand_ang)
             return carry, ys
 
         keys = jax.vmap(lambda t: step_key(rng, t))(jnp.arange(t_max))
         carry0 = (jnp.zeros((b,), bool), start_node, start_view,
-                  hist_cache, hist_len, dp0, last_dist0, last_ndtw0)
+                  hist_cache, hist_len, rstate)
         carry, ys = jax.lax.scan(
             body, carry0, (jnp.arange(t_max, dtype=jnp.int32), keys))
         ended, node, view = carry[0], carry[1], carry[2]

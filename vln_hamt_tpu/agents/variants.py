@@ -24,8 +24,18 @@ from .agent import HAMTAgent
 
 
 class R2RBackAgent(HAMTAgent):
-    device_rollout_rewards = False  # two-phase rewards -> host rollout
+    #: two-phase rewards are compiled into the device rollout scan
+    #: (rollout.py task='r2r_back'); parity-tested vs the host hooks
+    device_rollout_task = "r2r_back"
     supports_packed_eval = False  # two-phase episodes + midstop output
+
+    def _device_rollout_inputs(self, env, obs) -> Dict[str, np.ndarray]:
+        ins = super()._device_rollout_inputs(env, obs)
+        ins["mid_cost"] = self._goal_cost_slab(
+            env, lambda g, it: [g.index(it["midstop"])])
+        ins["goal_cost"] = self._goal_cost_slab(
+            env, lambda g, it: [g.index(it["path"][-1])])
+        return ins
 
     def _episode_state_init(self, obs, graphs, traj) -> Dict[str, Any]:
         st = super()._episode_state_init(obs, graphs, traj)
@@ -96,7 +106,25 @@ class R2RBackAgent(HAMTAgent):
         return new_ended
 
 class CVDNAgent(HAMTAgent):
-    device_rollout_rewards = False  # multi-goal reward -> host rollout
+    #: multi-goal reward compiled into the device rollout scan
+    #: (rollout.py task='cvdn'); parity-tested vs the host hooks
+    device_rollout_task = "cvdn"
+
+    def _device_rollout_inputs(self, env, obs) -> Dict[str, np.ndarray]:
+        # min distance to any end pano per node (cvdn/env.py:80-87;
+        # items without end_panos evaluate as always-at-goal, matching
+        # CVDNNavEnv._observe)
+        b = obs.batch_size
+        slab = np.full((b, self._n_scan_max), np.inf, np.float32)
+        for i, item in enumerate(env.batch):
+            g = env.graphs[item["scan"]]
+            if item.get("end_panos"):
+                ends = [g.index(v) for v in item["end_panos"]]
+                slab[i, : g.num_nodes] = g.dist[:, ends].min(axis=1)
+            else:
+                slab[i, : g.num_nodes] = 0.0
+        return {"goal_cost": slab}
+
     def _episode_state_init(self, obs, graphs, traj) -> Dict[str, Any]:
         return {"last_dist": obs.dist_to_goal.copy()}
 

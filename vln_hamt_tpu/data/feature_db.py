@@ -114,3 +114,43 @@ def build_feature_table(graphs, feat_db) -> Tuple[np.ndarray, Dict[str, int]]:
             rows.append(feat_db.get(scan, vid))
         n += g.num_nodes
     return np.stack(rows), offsets
+
+
+def build_object_table(graphs, obj_db, max_objects: int, obj_feat_size: int,
+                       obj_local_pos) -> Tuple[Dict[str, np.ndarray],
+                                               Dict[str, int]]:
+    """Device-resident REVERIE object tables in the feature-table layout.
+
+    Same sorted-scan row layout (and therefore the same offsets) as
+    :func:`build_feature_table`, so one ``(B, T)`` node-index stream
+    addresses BOTH tables. Per global node row: padded object features,
+    view indexes, normalized bbox positions and a validity mask —
+    everything the obs assembly gathered per step on the host
+    (``env/task_envs.py:ReverieNavEnv._observe``) except the relative
+    object angles, which depend on the agent's current view and are
+    computed on device from the (36, 36, A) angle table.
+
+    ``obj_local_pos``: bbox (K, 4) xywh -> (K, 5) normalized, i.e.
+    ``ReverieNavEnv._obj_local_pos`` (reverie/data_utils.py:31-43).
+    """
+    offsets: Dict[str, int] = {}
+    n = sum(g.num_nodes for g in graphs.values())
+    k = max_objects
+    fts = np.zeros((n, k, obj_feat_size), np.float32)
+    view = np.zeros((n, k), np.int32)
+    pos = np.zeros((n, k, 5), np.float32)
+    mask = np.zeros((n, k), bool)
+    row = 0
+    for scan in sorted(graphs):
+        g = graphs[scan]
+        offsets[scan] = row
+        for vid in g.node_ids:
+            entry = obj_db.get((scan, vid))
+            if entry is not None:
+                m = min(len(entry["obj_ids"]), k)
+                fts[row, :m] = entry["fts"][:m]
+                view[row, :m] = np.asarray(entry["viewindexs"][:m], np.int32)
+                pos[row, :m] = obj_local_pos(entry["bboxes"][:m])
+                mask[row, :m] = True
+            row += 1
+    return {"fts": fts, "view": view, "pos": pos, "mask": mask}, offsets

@@ -180,33 +180,48 @@ class ReverieNavEnv(R2RNavEnv):
         b = len(self.batch)
         k = self.max_objects
         a = self.spec.angle_feat_size
-        obj_fts = np.zeros((b, k, self.obj_feat_size), np.float32)
-        obj_angs = np.zeros((b, k, a), np.float32)
-        obj_pos = np.zeros((b, k, 5), np.float32)
-        obj_mask = np.zeros((b, k), bool)
+        table_mode = self.feat_offsets is not None
         obj_ids: List[List[str]] = []
-        from .observation import _angle_table
+        if table_mode:
+            # feature-table transport: object features/angles/positions
+            # are gathered ON DEVICE from the resident object table
+            # (data/feature_db.py:build_object_table); the host keeps
+            # only the id lists (predObjId / ref-teacher bookkeeping)
+            obs.obj_fts = obs.obj_angs = obs.obj_pos = obs.obj_mask = None
+            for i in range(b):
+                g = self.sim.graph(i)
+                key = (self.batch[i]["scan"], g.node_ids[obs.node[i]])
+                entry = self.obj_db.get(key)
+                obj_ids.append(list(entry["obj_ids"][:k])
+                               if entry is not None else [])
+            obs.obj_ids = obj_ids
+        else:
+            obj_fts = np.zeros((b, k, self.obj_feat_size), np.float32)
+            obj_angs = np.zeros((b, k, a), np.float32)
+            obj_pos = np.zeros((b, k, 5), np.float32)
+            obj_mask = np.zeros((b, k), bool)
+            from .observation import _angle_table
 
-        tab = _angle_table(a)
-        for i in range(b):
-            g = self.sim.graph(i)
-            key = (self.batch[i]["scan"], g.node_ids[obs.node[i]])
-            entry = self.obj_db.get(key)
-            ids: List[str] = []
-            if entry is not None:
-                n = min(len(entry["obj_ids"]), k)
-                obj_fts[i, :n] = entry["fts"][:n]
-                vidx = np.asarray(entry["viewindexs"][:n], np.int64)
-                obj_angs[i, :n] = tab[obs.view_index[i]][vidx]
-                obj_pos[i, :n] = self._obj_local_pos(entry["bboxes"][:n])
-                obj_mask[i, :n] = True
-                ids = list(entry["obj_ids"][:n])
-            obj_ids.append(ids)
-        obs.obj_fts = obj_fts
-        obs.obj_angs = obj_angs
-        obs.obj_pos = obj_pos
-        obs.obj_mask = obj_mask
-        obs.obj_ids = obj_ids
+            tab = _angle_table(a)
+            for i in range(b):
+                g = self.sim.graph(i)
+                key = (self.batch[i]["scan"], g.node_ids[obs.node[i]])
+                entry = self.obj_db.get(key)
+                ids: List[str] = []
+                if entry is not None:
+                    n = min(len(entry["obj_ids"]), k)
+                    obj_fts[i, :n] = entry["fts"][:n]
+                    vidx = np.asarray(entry["viewindexs"][:n], np.int64)
+                    obj_angs[i, :n] = tab[obs.view_index[i]][vidx]
+                    obj_pos[i, :n] = self._obj_local_pos(entry["bboxes"][:n])
+                    obj_mask[i, :n] = True
+                    ids = list(entry["obj_ids"][:n])
+                obj_ids.append(ids)
+            obs.obj_fts = obj_fts
+            obs.obj_angs = obj_angs
+            obs.obj_pos = obj_pos
+            obs.obj_mask = obj_mask
+            obs.obj_ids = obj_ids
         # multi-goal distance: min over object-visible viewpoints
         # (reverie/env.py:206-214)
         for i, item in enumerate(self.batch):

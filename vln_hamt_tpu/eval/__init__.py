@@ -3,7 +3,6 @@ from .metrics import (
     cls_score,
     eval_r2r_item,
     aggregate_metrics,
-    batch_ndtw,
     IncrementalNDTW,
 )
 
@@ -12,5 +11,4 @@ __all__ = [
     "cls_score",
     "eval_r2r_item",
     "aggregate_metrics",
-    "batch_ndtw",
 ]

@@ -5,9 +5,10 @@ SDTW / CLS) and ``finetune_src/r2r/env.py:332-386`` (_eval_item /
 eval_metrics). The reference computes DTW with dict-of-dict distance
 lookups per cell; here paths are node-index arrays and distances come
 from the scan's dense ``NavGraph.dist`` matrix, so cost matrices are a
-single fancy-index and the DP runs on numpy rows. ``batch_ndtw``
-vectorizes the DP across a batch for RL reward shaping
-(``agent_cmt.py:407-445`` calls cal_dtw per sample per step).
+single fancy-index and the DP runs on numpy rows. RL reward shaping
+(``agent_cmt.py:407-445`` calls cal_dtw per sample per step) uses
+:class:`IncrementalNDTW` on the host path and an in-scan DP row
+extension on the device rollout (``agents/rollout.py:_dp_extend``).
 """
 
 from __future__ import annotations
@@ -44,44 +45,6 @@ def dtw_scores(
     if success is None:
         success = float(dist[pred[-1], ref[-1]] < threshold)
     return {"DTW": dtw, "nDTW": ndtw, "SDTW": float(success) * ndtw}
-
-
-def batch_ndtw(
-    dist: np.ndarray,
-    pred: np.ndarray,
-    pred_len: np.ndarray,
-    ref: np.ndarray,
-    ref_len: np.ndarray,
-    threshold: float = ERROR_MARGIN,
-) -> np.ndarray:
-    """Vectorized nDTW for a batch of padded index paths (one scan's dist).
-
-    pred: (B, P) int paths padded arbitrarily beyond pred_len.
-    ref:  (B, R) int reference paths padded beyond ref_len.
-    Returns (B,) nDTW. The DP is vectorized over the batch; the j loop is
-    short (R <= ~15 for all supported tasks).
-    """
-    b, p_max = pred.shape
-    r_max = ref.shape[1]
-    cost = dist[pred[:, :, None], ref[:, None, :]].astype(np.float64)  # (B, P, R)
-
-    big = np.float64(1e18)
-    prev = np.full((b, r_max + 1), big)
-    prev[:, 0] = 0.0
-    i_active = np.arange(p_max)[None, :] < pred_len[:, None]  # (B, P)
-    j_active = np.arange(1, r_max + 1)[None, :] <= ref_len[:, None]  # (B, R)
-    for i in range(p_max):
-        cur = np.full((b, r_max + 1), big)
-        for j in range(1, r_max + 1):
-            best = np.minimum(np.minimum(prev[:, j], prev[:, j - 1]), cur[:, j - 1])
-            cur[:, j] = cost[:, i, j - 1] + best
-        take = i_active[:, i]
-        prev = np.where(take[:, None], cur, prev)
-        # keep column 0 "open" only before the first step
-        prev[:, 0] = np.where(take, big, prev[:, 0])
-
-    dtw = prev[np.arange(b), ref_len]
-    return np.exp(-dtw / (threshold * np.maximum(ref_len, 1))).astype(np.float32)
 
 
 class IncrementalNDTW:

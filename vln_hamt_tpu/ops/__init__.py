@@ -1,4 +1,3 @@
-from .dtw import dtw_ndtw_device
 from .attention import fused_attention, pallas_available
 
-__all__ = ["dtw_ndtw_device", "fused_attention", "pallas_available"]
+__all__ = ["fused_attention", "pallas_available"]

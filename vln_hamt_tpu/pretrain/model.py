@@ -217,8 +217,13 @@ class HAMTPretrain(nn.Module):
         target = jnp.concatenate(
             [batch["ob_action_angles"], batch["ob_progress"][:, None]], axis=1
         )
-        loss = jnp.mean((pred.astype(jnp.float32) - target) ** 2)
-        return loss, {"n": pred.shape[0]}
+        sq = (pred.astype(jnp.float32) - target) ** 2
+        loss = jnp.mean(sq)
+        # per-component validator metrics (main_r2r.py:398-428)
+        per_dim = jnp.mean(sq, axis=0)
+        return loss, {"heading_loss": per_dim[0],
+                      "elevation_loss": per_dim[1],
+                      "progress_loss": per_dim[2], "n": pred.shape[0]}
 
     # ----------------------------------------------------------- SpRel
     def forward_sprel(self, batch, deterministic: bool = False):
@@ -241,8 +246,12 @@ class HAMTPretrain(nn.Module):
             [jnp.broadcast_to(anchor, views.shape), views], axis=-1
         )
         pred = self.sprel_head(cat, deterministic=deterministic)
-        loss = jnp.mean((pred.astype(jnp.float32) - batch["sp_targets"]) ** 2)
-        return loss, {"n": pred.shape[0]}
+        sq = (pred.astype(jnp.float32) - batch["sp_targets"]) ** 2
+        loss = jnp.mean(sq)
+        # per-component validator metrics (main_r2r.py:430-453)
+        per_dim = jnp.mean(sq, axis=(0, 1))
+        return loss, {"heading_loss": per_dim[0],
+                      "elevation_loss": per_dim[1], "n": pred.shape[0]}
 
     # ------------------------------------------------------------- ITM
     def forward_itm(self, batch, deterministic: bool = False):

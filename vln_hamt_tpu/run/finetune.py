@@ -213,10 +213,10 @@ def train(
     if isinstance(train_env, tuple):
         train_env, aug_env = train_env
     agent = _AGENT_CLS[dataset](cfg, train_env, seed=cfg.train.seed)
-    if cfg.train.feat_table and dataset != "reverie":
+    if cfg.train.feat_table:
         # device-resident feature table: episodes/policy steps ship node
-        # indices, the device gathers features (reverie's episodes carry
-        # object features -> keeps the full-obs path)
+        # indices, the device gathers features (REVERIE additionally
+        # gathers from a node-aligned object table)
         agent.enable_feature_table(train_env)
         for e in ([aug_env] if aug_env is not None else []) + list(val_envs.values()):
             e.feat_offsets = train_env.feat_offsets
@@ -299,7 +299,7 @@ def valid(cfg: HAMTConfig, ckpt: Optional[str], val_envs: Dict[str, object],
     if ckpt:
         step = agent.load(ckpt)
         write_record(record_file, f"loaded {ckpt} at iter {step}")
-    if cfg.train.feat_table and dataset != "reverie" and val_envs:
+    if cfg.train.feat_table and val_envs:
         first = next(iter(val_envs.values()))
         agent.env = first
         agent.enable_feature_table(first)  # all envs share the graphs

@@ -95,6 +95,11 @@ def main(argv=None):
                         "convert_vit_state_dict (the reference loads timm "
                         "pretrained weights, "
                         "precompute_img_features_vit.py:69-77)")
+    p.add_argument("--device_bench", type=int, default=0,
+                   help="measure N compute-bound iterations with the "
+                        "batch resident on device (separates MXU time "
+                        "from the host link; reports the co-located "
+                        "throughput bound)")
     args = p.parse_args(argv)
 
     import jax
@@ -128,6 +133,26 @@ def main(argv=None):
     # does not pollute the throughput measurement
     warm = np.zeros((36 * args.panos_per_batch, h, w, 3), np.uint8)
     jax.block_until_ready(feat.featurize_images(warm))
+
+    if args.device_bench:
+        # compute-bound bound: input already resident in HBM, so the
+        # loop measures pure ViT device time (what a co-located host
+        # would sustain if image supply keeps up)
+        dev_images = jax.device_put(
+            np.random.default_rng(0).integers(
+                0, 255, warm.shape, dtype=np.uint8))
+        jax.block_until_ready(feat._featurize(feat.params, dev_images))
+        t0 = time.perf_counter()
+        for _ in range(args.device_bench):
+            out = feat._featurize(feat.params, dev_images)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        ips = args.device_bench * warm.shape[0] / dt
+        print(json.dumps({
+            "device_bench_iters": args.device_bench,
+            "images_per_sec_compute_bound": round(ips, 1),
+            "viewpoints_per_sec_compute_bound": round(ips / 36, 2),
+        }))
 
     writer = hdf5_writer(args.output_file)
     t0 = time.perf_counter()
