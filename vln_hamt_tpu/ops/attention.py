@@ -82,6 +82,78 @@ def _attn_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, dm_ref, *, scale, dropout_rate):
+    """Fused backward for one (batch, head) block.
+
+    Recomputes the probability matrix in VMEM (flash-style — cheaper
+    than spilling (B,H,Lq,Lk) fp32 to HBM at these sizes) then applies
+    the softmax/dropout VJP and the three matmul gradients in one pass.
+    ``dm_ref`` (the additive-mask cotangent, broadcast over heads and
+    query rows in the forward) is accumulated across the head grid
+    steps, which revisit the same (B,1,Lk) output block.
+    """
+    q = q_ref[0].astype(jnp.float32)  # (Lq, Dh)
+    k = k_ref[0].astype(jnp.float32)  # (Lk, Dh)
+    v = v_ref[0].astype(jnp.float32)
+    m = mask_ref[0].astype(jnp.float32)  # (1, Lk)
+    g = g_ref[0].astype(jnp.float32)  # (Lq, Dh)
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + m
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # bit-identical to fwd
+
+    # dv = p_dropped^T g ; dp = (g v^T) through the dropout mask
+    dpd = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Lq, Lk)
+    if dropout_rate > 0.0:
+        lq, lk = p.shape
+        i = pl.program_id(0).astype(jnp.uint32)
+        j = pl.program_id(1).astype(jnp.uint32)
+        row = jax.lax.broadcasted_iota(jnp.uint32, (lq, lk), 0)
+        col = jax.lax.broadcasted_iota(jnp.uint32, (lq, lk), 1)
+        idx = row * jnp.uint32(lk) + col
+        key = (seed_ref[0].astype(jnp.uint32)
+               + i * jnp.uint32(0x9E3779B1)
+               + j * jnp.uint32(0x85EBCA77))
+        bits = _splitmix32(key ^ _splitmix32(idx))
+        thresh = jnp.uint32(min(int(dropout_rate * 4294967296.0), 4294967295))
+        keep = bits >= thresh
+        inv = 1.0 / (1.0 - dropout_rate)
+        pd = jnp.where(keep, p * inv, 0.0)
+        dp = jnp.where(keep, dpd * inv, 0.0)
+    else:
+        pd = p
+        dp = dpd
+
+    dv = jax.lax.dot_general(
+        pd, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Lk, Dh)
+    # softmax VJP: ds = p * (dp - rowsum(dp * p))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dm_row = jnp.sum(ds, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dm_ref[0] = dm_row.astype(dm_ref.dtype)
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        dm_ref[0] = dm_ref[0] + dm_row.astype(dm_ref.dtype)
+
+
 def _dropout_keep_mask(seed: jnp.ndarray, b: int, h: int, lq: int, lk: int,
                        rate: float) -> jnp.ndarray:
     """(B, H, Lq, Lk) keep mask, bit-identical to the in-kernel hash.
@@ -105,9 +177,8 @@ def _dropout_keep_mask(seed: jnp.ndarray, b: int, h: int, lq: int, lk: int,
 def _attention_reference(q, k, v, additive_mask, seed, rate: float):
     """Plain-XLA forward with the same math (fp32, same dropout bits).
 
-    The custom-VJP backward differentiates this instead of the pallas
-    kernel (pallas_call has no reverse-mode rule); under training remat
-    the recompute cost matches what ``jax.checkpoint`` pays anyway.
+    Oracle for the kernel tests; the production backward is the fused
+    ``_attn_bwd_kernel`` (pallas), which must match jax.grad of this.
     """
     b, h, lq, dh = q.shape
     lk = k.shape[2]
@@ -167,14 +238,45 @@ def _core_bwd(rate, interpret, res, g):
     import numpy as np
 
     seed, q, k, v, additive_mask = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, m_: _attention_reference(q_, k_, v_, m_, seed,
-                                                    rate),
-        q, k, v, additive_mask,
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    scale = 1.0 / (dh ** 0.5)
+    on_tpu = _HAS_PLTPU and not interpret
+    bspec = lambda l: pl.BlockSpec(
+        (1, l, dh), lambda i, j: (i * h + j, 0, 0),
+        **({"memory_space": pltpu.VMEM} if on_tpu else {}),
     )
-    dq, dk, dv, dm = vjp(g)
+    mspec = pl.BlockSpec(
+        (1, 1, lk), lambda i, j: (i, 0, 0),
+        **({"memory_space": pltpu.VMEM} if on_tpu else {}),
+    )
+    sspec = pl.BlockSpec(
+        (1,), lambda i, j: (0,),
+        **({"memory_space": pltpu.SMEM} if on_tpu else {}),
+    )
+    dq, dk, dv, dm = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, dropout_rate=rate),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, lq, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lk, dh), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lk, dh), v.dtype),
+            jax.ShapeDtypeStruct((b, 1, lk), additive_mask.dtype),
+        ),
+        grid=(b, h),
+        in_specs=[sspec, bspec(lq), bspec(lk), bspec(lk), mspec, bspec(lq)],
+        out_specs=(bspec(lq), bspec(lk), bspec(lk), mspec),
+        interpret=interpret,
+    )(
+        seed.reshape(1).astype(jnp.int32),
+        q.reshape(b * h, lq, dh),
+        k.reshape(b * h, lk, dh),
+        v.reshape(b * h, lk, dh),
+        additive_mask.reshape(b, 1, lk),
+        g.astype(jnp.float32).reshape(b * h, lq, dh),
+    )
     ct_seed = np.zeros(seed.shape, jax.dtypes.float0)
-    return ct_seed, dq, dk, dv, dm
+    return (ct_seed, dq.reshape(b, h, lq, dh), dk.reshape(b, h, lk, dh),
+            dv.reshape(b, h, lk, dh), dm.reshape(additive_mask.shape))
 
 
 _fused_attention_core.defvjp(_core_fwd, _core_bwd)
@@ -194,8 +296,10 @@ def fused_attention(
     With ``dropout_rate > 0`` the kernel applies attention-prob dropout
     in-register (counter-based hash of (seed, batch, head, position)),
     so the fused path stays usable for training; ``dropout_seed`` must
-    then be provided and varies per call/step. Differentiable: backward
-    recomputes through an XLA reference with the identical dropout bits.
+    then be provided and varies per call/step. Differentiable: the
+    custom-VJP backward is a second fused pallas kernel that recomputes
+    the probability matrix in VMEM (identical dropout bits) and emits
+    dq/dk/dv/dmask in one pass.
     """
     if interpret is None:
         interpret = not pallas_available()
