@@ -52,6 +52,19 @@ def test_r2rback_agent(vworld):
     # the agent never stopped
     agg, _ = env.eval_metrics(preds)
     assert np.isfinite(agg["sr"])
+    # packed eval carries the two-phase state per slot (first STOP ->
+    # midstop, second STOP -> done) and must match lock-step exactly
+    packed = {p["instr_id"]: ([x[0] for x in p["trajectory"]],
+                              p.get("midstop"))
+              for p in agent.eval_split_packed()}
+    lock = {p["instr_id"]: ([x[0] for x in p["trajectory"]],
+                            p.get("midstop")) for p in preds}
+    assert set(packed) == set(lock)
+    assert packed == lock
+    agg_p, _ = env.eval_metrics(
+        [{"instr_id": k, "trajectory": [(vp, 0.0, 0.0) for vp in t],
+          "midstop": ms} for k, (t, ms) in packed.items()])
+    assert agg_p["sr"] == agg["sr"]
 
 
 @pytest.mark.slow
@@ -156,6 +169,54 @@ def test_variant_device_rollout_matches_host(vworld, task):
 
 
 @pytest.mark.slow
+def test_reverie_device_rollout_matches_host(vworld):
+    """The object-grounded sampling rollout compiled into the device
+    scan (rollout.py task='reverie': plan_ref core, per-node object
+    table gathers, appended obj-stop slot, multi-goal distance slab)
+    must reproduce the host rollout exactly: logits, actions, visited
+    nodes, rewards, masks, bootstrap mask."""
+    obj_db, obj2vp = add_synthetic_objects(vworld, obj_feat_size=24, seed=1)
+    cfg = small_cfg(vworld, max_action_len=10,
+                    extra_model={"obj_feat_size": 24})
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates, image_feat_size=32)
+
+    def make():
+        env = ReverieNavEnv(vworld.graphs, vworld.feat_db, vworld.instr_data,
+                            spec, batch_size=4, max_instr_len=32,
+                            max_action_len=10, seed=0, obj_db=obj_db,
+                            obj2viewpoint=obj2vp, max_objects=4,
+                            obj_feat_size=24)
+        agent = ReverieAgent(cfg, env, seed=0)
+        agent.enable_feature_table()
+        return agent
+
+    rng = jax.random.PRNGKey(42)
+    a1 = make()
+    a1.device_rollout_rewards = False  # force the host loop
+    _, host = a1.interactive_rollout("sample", rng, deterministic=False,
+                                     record_for_replay=True)
+    a2 = make()
+    dev_ep, dev = a2.device_rollout_iteration(rng)
+
+    hl = host["rollout_logits"]
+    t_used = hl.shape[0]
+    dl = np.asarray(dev["rollout_logits"])[:t_used]
+    fin = np.isfinite(hl)
+    np.testing.assert_allclose(dl[fin], hl[fin], rtol=2e-4, atol=2e-4)
+    assert np.array_equal(np.isfinite(dl), fin)
+    for k in ("actions", "step_mask", "node_idx", "view_index"):
+        np.testing.assert_array_equal(np.asarray(dev_ep[k]),
+                                      np.asarray(host["ep"][k]), err_msg=k)
+    np.testing.assert_allclose(np.asarray(dev["rewards"]),
+                               np.asarray(host["rewards"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dev["masks"]),
+                                  np.asarray(host["masks"]))
+    np.testing.assert_array_equal(np.asarray(dev["bootstrap_mask"]),
+                                  np.asarray(host["bootstrap_mask"]))
+
+
+@pytest.mark.slow
 def test_reverie_feature_table_matches_plain(vworld):
     """REVERIE feature-table transport (pano + node-aligned object
     tables, device-side gathers + angle computation) must produce
@@ -186,8 +247,16 @@ def test_reverie_feature_table_matches_plain(vworld):
 
     def run_eval(table):
         agent = make(table)
-        return {p["instr_id"]: ([x[0] for x in p["trajectory"]],
+        lock = {p["instr_id"]: ([x[0] for x in p["trajectory"]],
                                 p.get("predObjId"))
                 for p in agent.eval_split()}
+        # continuation-packed eval (object-grounded policy step per
+        # slot, predObjId at stop) must match lock-step in both
+        # transports
+        packed = {p["instr_id"]: ([x[0] for x in p["trajectory"]],
+                                  p.get("predObjId"))
+                  for p in agent.eval_split_packed()}
+        assert packed == lock
+        return lock
 
     assert run_eval(True) == run_eval(False)

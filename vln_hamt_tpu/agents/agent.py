@@ -117,6 +117,7 @@ class HAMTAgent:
         ecfg, mcfg, tcfg = cfg.env, cfg.model, cfg.train
         self.num_ob_tokens = ecfg.max_candidates + 1 + ecfg.views
         self.stop_slot = ecfg.max_candidates
+        self.num_actions = self.num_ob_tokens  # REVERIE appends a slot
 
         rng = jax.random.PRNGKey(seed)
         self.model, self.critic, params, cparams = init_hamt_params(
@@ -516,6 +517,7 @@ class HAMTAgent:
             self._feat_table, self._nav_tables,
             ins["start_node"], ins["start_view"], ins["offs"],
             {k: ins[k] for k in task_inputs},
+            obj_tables=getattr(self, "_obj_tables", None),
             deterministic=False)
 
     def _goal_cost_slab(self, env, goal_nodes_fn) -> np.ndarray:
@@ -593,6 +595,43 @@ class HAMTAgent:
 
     def _update_ended(self, ended, a_t, ep_state, train_rl: bool) -> np.ndarray:
         return ended | (a_t == self.stop_slot)
+
+    # ------------------------------------ packed-eval per-slot hooks
+    # (continuation-packed eval keeps per-slot episode state here so
+    # variants with richer episode semantics — R2R-Back's two phases,
+    # REVERIE's object grounding — can ride the packed evaluator)
+    def _packed_slot_init(self, env, i: int) -> Dict[str, Any]:
+        """Fresh per-slot episode state when a slot (re)loads an item."""
+        return {}
+
+    def _packed_slot_done(self, st: Dict[str, Any], g, i: int,
+                          a_t_i: int, steps: int) -> bool:
+        """Termination test after a policy step; ``steps`` counts policy
+        steps taken this episode (the lock-step budget is policy
+        iterations, agent_base.py:25-47 x max_action_len)."""
+        return a_t_i == self.stop_slot or steps >= g.env.max_action_len
+
+    def _packed_slot_result(self, st: Dict[str, Any], pred: dict) -> None:
+        """Attach per-slot extras (e.g. midstop, predObjId)."""
+
+    def _packed_env_actions(self, a_t: np.ndarray,
+                            active: np.ndarray) -> np.ndarray:
+        """Env transition vector for a packed step (-1 = no move)."""
+        return np.where(active & (a_t != self.stop_slot), a_t, -1)
+
+    def _packed_policy_step(self, g, step_ins: Dict[str, Any],
+                            use_table: bool):
+        """Dispatch one packed-eval policy step (non-blocking); updates
+        the group's history state and returns (action_dev, aux_dev)."""
+        a_dev, _, _, g.hist_cache, g.hist_len = self.policy_step(
+            self.state.params, self.state.cparams, g.txt_embeds,
+            jnp.asarray(g.txt_mask), g.hist_cache, g.hist_len,
+            jnp.asarray(np.minimum(g.t_vec, g.t_max - 1)),
+            rng=self._next_rng(), mode="argmax", deterministic=True,
+            feat_table=self._feat_table if use_table else None,
+            **step_ins,
+        )
+        return a_dev, None
 
     @staticmethod
     def _pose_tuple(env: R2RNavEnv, i: int) -> Tuple[str, float, float]:
@@ -890,17 +929,20 @@ class _PackedEvalGroup:
             agent.state.params, hist_cache, jnp.ones((b,), jnp.int32),
             jnp.ones((b,), bool), self.rng)
 
-        self.t_vec = np.zeros((b,), np.int32)
+        self.t_vec = np.zeros((b,), np.int32)  # policy steps this episode
         self.active = np.ones((b,), bool)
         self.traj = [[agent._pose_tuple(env, i)] for i in range(b)]
         self.visited = [set([int(env.sim.node[i])]) for i in range(b)]
+        self.slot_state = [agent._packed_slot_init(env, i) for i in range(b)]
         self.results: Dict[str, dict] = {}
         self.obs = env._observe()
         self._a_dev = None
+        self._aux_dev = None
+        self._aux_np = None
 
     def dispatch(self) -> None:
         a, env, obs, b = self.a, self.env, self.obs, self.b
-        forbid = np.zeros((b, a.num_ob_tokens), bool)
+        forbid = np.zeros((b, a.num_actions), bool)
         if self.no_cand_backtrack:
             for i in range(b):
                 for c in range(self.stop):
@@ -927,43 +969,47 @@ class _PackedEvalGroup:
             given_action=jnp.zeros((b,), jnp.int32),
             **feat_args,
         ), batch_size=b)
-        self._a_dev, _, _, self.hist_cache, self.hist_len = a.policy_step(
-            a.state.params, a.state.cparams, self.txt_embeds,
-            jnp.asarray(self.txt_mask), self.hist_cache, self.hist_len,
-            jnp.asarray(np.minimum(self.t_vec, self.t_max - 1)),
-            rng=a._next_rng(),
-            mode="argmax", deterministic=True,
-            feat_table=a._feat_table if use_table else None,
-            **step_ins,
-        )
+        self._a_dev, self._aux_dev = a._packed_policy_step(
+            self, step_ins, use_table)
+        self._aux_np = None
+
+    def aux_np(self) -> np.ndarray:
+        """Host copy of the step's auxiliary output (e.g. REVERIE
+        object logits), cached per consume."""
+        if self._aux_np is None:
+            self._aux_np = np.asarray(self._aux_dev)
+        return self._aux_np
 
     def consume(self) -> None:
         a, env, b, stop = self.a, self.env, self.b, self.stop
         a_t = np.asarray(self._a_dev)  # blocks: device step + download
         self._a_dev = None
 
-        env_actions = np.where(self.active & (a_t != stop), a_t, -1)
+        env_actions = a._packed_env_actions(a_t, self.active)
         obs_after = env.step(env_actions, self.obs)
         reset_mask = np.zeros((b,), bool)
         for i in range(b):
             if not self.active[i]:
                 continue
+            self.t_vec[i] += 1  # lock-step budget unit = policy steps
             if env_actions[i] >= 0:
                 self.traj[i].append(a._pose_tuple(env, i))
                 self.visited[i].add(int(env.sim.node[i]))
-                self.t_vec[i] += 1
-            done = a_t[i] == stop or self.t_vec[i] >= self.t_max
+            done = a._packed_slot_done(self.slot_state[i], self, i,
+                                       int(a_t[i]), int(self.t_vec[i]))
             if not done:
                 continue
             instr_id = env.batch[i]["instr_id"]
             if instr_id not in self.results:
                 # cycled-fill duplicates resolve to the first prediction
-                self.results[instr_id] = {"instr_id": instr_id,
-                                          "trajectory": self.traj[i]}
+                pred = {"instr_id": instr_id, "trajectory": self.traj[i]}
+                a._packed_slot_result(self.slot_state[i], pred)
+                self.results[instr_id] = pred
             if self.pending:
                 env.load_item(i, self.pending.pop())
                 self.traj[i] = [a._pose_tuple(env, i)]
                 self.visited[i] = set([int(env.sim.node[i])])
+                self.slot_state[i] = a._packed_slot_init(env, i)
                 self.t_vec[i] = 0
                 reset_mask[i] = True
             else:

@@ -33,33 +33,21 @@ from .rollout import (
     HIST0_KEY_SALT,
     TXT_KEY_SALT,
     EpisodeOutputs,
+    _full_logits,
     _hist_mask,
+    _make_ref_policy_core,
+    _obj_angle_table,
     step_key,
 )
 
 
-def _full_logits(act_logits: jnp.ndarray, obj_logits: jnp.ndarray,
-                 stop_slot: int) -> jnp.ndarray:
-    """[act slots (layout STOP masked) ; max-obj logit] (agent.py:251-254)."""
-    act = act_logits.at[:, stop_slot].set(-jnp.inf)
-    max_obj = jnp.max(obj_logits, axis=-1, keepdims=True)
-    # guard: a viewpoint with zero objects would make stopping
-    # impossible and the softmax degenerate; fall back to logit 0
-    max_obj = jnp.where(jnp.isfinite(max_obj), max_obj, 0.0)
-    return jnp.concatenate([act, max_obj], axis=1)
-
-
-def _obj_angle_table(angle_feat_size: int):
-    from ..data.angle import all_point_angle_feature
-
-    return jnp.asarray(all_point_angle_feature(angle_feat_size))
-
-
-def build_ref_policy_step(model: HAMT, critic, cfg, stop_slot: int):
-    from .rollout import make_expand_obs
-
-    expand_obs = make_expand_obs(36, cfg.angle_feat_size)
+def build_ref_policy_step(model: HAMT, critic, cfg):
+    """Jitted single interactive REVERIE step; the policy math lives in
+    the shared ``rollout._make_ref_policy_core`` (same invariant as the
+    base agent: host steps and the device rollout scan must be
+    bit-identical)."""
     ang_tab = _obj_angle_table(cfg.angle_feat_size)  # (36, 36, A)
+    core = _make_ref_policy_core(model, critic, cfg)
 
     @partial(jax.jit, static_argnames=("mode", "deterministic"),
              donate_argnames=("hist_cache",))
@@ -79,47 +67,10 @@ def build_ref_policy_step(model: HAMT, critic, cfg, stop_slot: int):
             ov = obj_tables["view"][node_idx]
             obj_angs = jnp.where(obj_mask[..., None],
                                  ang_tab[view_index[:, None], ov], 0.0)
-        h_max = hist_cache.shape[1]
-        k_plan, k_critic, k_hist, k_act = jax.random.split(rng, 4)
-        apply = partial(model.apply, {"params": params})
-        ob = expand_obs(pano_feat, view_index, cand_point, cand_ang)
-        ob_ang = ob["ob_ang"]
-        act_logits, obj_logits, state = apply(
-            txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
-            ob["ob_img"], ob["ob_ang"], ob["ob_nav"], ob["ob_mask"],
-            obj_fts, obj_angs, obj_pos, obj_mask, deterministic,
-            method=HAMT.plan_ref, rngs={"dropout": k_plan},
-        )
-        logits = _full_logits(act_logits, obj_logits, stop_slot)
-        masked_logits = jnp.where(forbid, -jnp.inf, logits)
-        if mode == "sample":
-            action = jax.random.categorical(k_act, masked_logits, axis=-1)
-        elif mode == "argmax":
-            action = jnp.argmax(masked_logits, axis=-1)
-        elif mode == "teacher":
-            action = given_action
-        else:
-            raise ValueError(mode)
-        action = action.astype(jnp.int32)
-
-        value = critic.apply({"params": cparams}, state, deterministic,
-                             rngs={"dropout": k_critic})
-        # stop (appended slot) and layout STOP both have zero angle
-        n_ob = ob_ang.shape[1]
-        gather_a = jnp.where(action >= n_ob, stop_slot, action)
-        act_ang = jnp.take_along_axis(
-            ob_ang, gather_a[:, None, None], axis=1
-        ).squeeze(1)
-        new_tok = apply(
-            ob["hist_img"], act_ang, t, ob["pano_img"], ob["pano_ang"],
-            deterministic, method=HAMT.encode_history,
-            rngs={"dropout": k_hist},
-        )
-        hist_cache = jax.lax.dynamic_update_slice(
-            hist_cache, new_tok[:, None, :].astype(hist_cache.dtype), (0, t + 1, 0)
-        )
-        hist_len = hist_len + live.astype(jnp.int32)
-        return action, logits, obj_logits, value, hist_cache, hist_len
+        return core(params, cparams, txt_embeds, txt_mask, hist_cache,
+                    hist_len, t, pano_feat, view_index, cand_point, cand_ang,
+                    obj_fts, obj_angs, obj_pos, obj_mask,
+                    live, forbid, given_action, rng, mode, deterministic)
 
     return policy_step
 
@@ -241,18 +192,20 @@ def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
 
 
 class ReverieAgent(HAMTAgent):
-    device_rollout_rewards = False  # object-grounded rollout is its own path
     """Joint nav + grounding agent over :class:`ReverieNavEnv`."""
 
-    supports_packed_eval = False  # object inputs + predObjId output
+    #: object-grounded sampling rollout compiled into the device scan
+    #: (rollout.py task='reverie'); parity-tested vs the host rollout
+    device_rollout_task = "reverie"
 
     def __init__(self, cfg: HAMTConfig, env=None, seed: int = 0):
         assert cfg.model.obj_feat_size > 0, "REVERIE needs obj_feat_size > 0"
         super().__init__(cfg, env, seed=seed)
         mcfg = cfg.model
         self.ref_stop = self.num_ob_tokens  # appended obj-stop slot
+        self.num_actions = self.num_ob_tokens + 1
         self.policy_step_ref = build_ref_policy_step(
-            self.model, self.critic, mcfg, self.stop_slot)
+            self.model, self.critic, mcfg)
         self.episode_forward_ref = build_ref_episode_forward(
             self.model, self.critic, mcfg, self.stop_slot)
         self._ref_il_rl_update = jax.jit(self._ref_il_rl_update_fn)
@@ -282,6 +235,70 @@ class ReverieAgent(HAMTAgent):
             from ..parallel.mesh import replicate
 
             self._obj_tables = replicate(self._obj_tables, self.mesh)
+
+    # ----------------------------------------------- device rollout
+    def _device_rollout_inputs(self, env, obs) -> Dict[str, np.ndarray]:
+        # nDTW ref costs (base) + the multi-goal distance slab: min over
+        # object-visible viewpoints (reverie/env.py:206-214), 0.0 when
+        # the object has none (matching ReverieNavEnv._observe)
+        ins = super()._device_rollout_inputs(env, obs)
+        b = obs.batch_size
+        slab = np.full((b, self._n_scan_max), np.inf, np.float32)
+        for i, item in enumerate(env.batch):
+            g = env.graphs[item["scan"]]
+            vps = env._goal_viewpoints(item["scan"], item["objId"])
+            if vps:
+                idx = [g.index(v) for v in vps]
+                slab[i, : g.num_nodes] = (g.dist[:, idx].min(axis=1)
+                                          if len(idx) > 1
+                                          else g.dist[:, idx[0]])
+            else:
+                slab[i, : g.num_nodes] = 0.0
+        ins["goal_cost"] = slab
+        return ins
+
+    # ----------------------------------------------- packed eval hooks
+    def _packed_policy_step(self, g, step_ins, use_table):
+        obs = g.obs
+        if use_table:
+            extra = dict(obj_fts=None, obj_angs=None, obj_pos=None,
+                         obj_mask=None, obj_tables=self._obj_tables)
+        else:
+            extra = dict(obj_fts=jnp.asarray(obs.obj_fts),
+                         obj_angs=jnp.asarray(obs.obj_angs),
+                         obj_pos=jnp.asarray(obs.obj_pos),
+                         obj_mask=jnp.asarray(obs.obj_mask))
+        (a_dev, _, obj_logits, _, g.hist_cache,
+         g.hist_len) = self.policy_step_ref(
+            self.state.params, self.state.cparams, g.txt_embeds,
+            jnp.asarray(g.txt_mask), g.hist_cache, g.hist_len,
+            jnp.asarray(np.minimum(g.t_vec, g.t_max - 1)),
+            rng=self._next_rng(), mode="argmax", deterministic=True,
+            feat_table=self._feat_table if use_table else None,
+            **extra, **step_ins,
+        )
+        return a_dev, obj_logits
+
+    def _packed_env_actions(self, a_t, active):
+        # candidate moves only (reverie/agent.py:285-287)
+        return np.where(active & (a_t < self.stop_slot), a_t, -1)
+
+    def _packed_slot_done(self, st, g, i, a_t_i, steps):
+        done = (a_t_i >= self.num_ob_tokens
+                or steps >= g.env.max_action_len)
+        if done and "predObjId" not in st:
+            # predicted object at (forced) stop (agent.py:298-304)
+            ids = g.obs.obj_ids[i]
+            if not ids:
+                st["predObjId"] = str(None)
+            else:
+                obj_np = g.aux_np()
+                st["predObjId"] = str(
+                    ids[int(np.argmax(obj_np[i, : len(ids)]))])
+        return done
+
+    def _packed_slot_result(self, st, pred):
+        pred["predObjId"] = st.get("predObjId", str(None))
 
     # ------------------------------------------------------------ losses
     def _ref_il_loss(self, params, cparams, ep, rng, weight,
@@ -457,6 +474,7 @@ class ReverieAgent(HAMTAgent):
         ref_teacher_rec = np.full((b, t_max), IGNORE_ID, np.int32)
         step_mask = np.zeros((b, t_max), bool)
         rewards = np.zeros((t_max, b), np.float32)
+        logits_rec: List[np.ndarray] = []
 
         for t in range(t_max):
             obs_list.append(obs)
@@ -505,6 +523,8 @@ class ReverieAgent(HAMTAgent):
             actions_rec[:, t] = np.where(live, a_t, stop)
             teacher_rec[:, t] = np.where(live, teacher_t, IGNORE_ID)
             ref_teacher_rec[:, t] = np.where(live, ref_t, IGNORE_ID)
+            if record_for_replay:
+                logits_rec.append(np.asarray(logits))
 
             # record predObjId at (forced) stop (agent.py:298-304)
             obj_np = np.asarray(obj_logits)
@@ -549,6 +569,7 @@ class ReverieAgent(HAMTAgent):
                 "rewards": jnp.asarray(rewards),
                 "masks": jnp.asarray(step_mask.T.astype(np.float32)),
                 "bootstrap_mask": jnp.asarray(~ended),
+                "rollout_logits": np.stack(logits_rec, axis=0),  # (T_used, B, N+1)
             }
         return traj, extras
 
@@ -573,9 +594,17 @@ class ReverieAgent(HAMTAgent):
             il_ep = self._ref_teacher_episode()
             il_rng = self._next_rng()
             rl_rng = self._next_rng()
-            _, extras = self.interactive_rollout("sample", rl_rng,
-                                                 deterministic=False,
-                                                 record_for_replay=True)
+            if (self.device_rollout_rewards and self._nav_tables is not None
+                    and self.env.feat_offsets is not None):
+                # object-grounded sampling rollout as ONE device scan
+                # (rollout.py task='reverie'): per-step object rows are
+                # table gathers, no host round trips
+                rl_ep, dev_extras = self.device_rollout_iteration(rl_rng)
+                extras = {"ep": rl_ep, **dev_extras}
+            else:
+                _, extras = self.interactive_rollout(
+                    "sample", rl_rng, deterministic=False,
+                    record_for_replay=True)
             params, cparams, opt_state, copt_state, loss, aux = (
                 self._ref_il_rl_update(
                     st.params, st.cparams, st.opt_state, st.copt_state,

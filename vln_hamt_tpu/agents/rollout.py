@@ -334,6 +334,86 @@ def _make_policy_core(model: HAMT, critic: Critic, expand_obs):
     return core
 
 
+def _full_logits(act_logits: jnp.ndarray, obj_logits: jnp.ndarray,
+                 stop_slot: int) -> jnp.ndarray:
+    """[act slots (layout STOP masked) ; max-obj logit] — the REVERIE
+    action space (reverie/agent.py:251-254)."""
+    act = act_logits.at[:, stop_slot].set(-jnp.inf)
+    max_obj = jnp.max(obj_logits, axis=-1, keepdims=True)
+    # guard: a viewpoint with zero objects would make stopping
+    # impossible and the softmax degenerate; fall back to logit 0
+    max_obj = jnp.where(jnp.isfinite(max_obj), max_obj, 0.0)
+    return jnp.concatenate([act, max_obj], axis=1)
+
+
+def _obj_angle_table(angle_feat_size: int):
+    from ..data.angle import all_point_angle_feature
+
+    return jnp.asarray(all_point_angle_feature(angle_feat_size))
+
+
+def _make_ref_policy_core(model: HAMT, critic, cfg: ModelConfig):
+    """REVERIE policy step (plan_ref + object grounding) as a pure
+    function — shared by the host ``build_ref_policy_step`` and the
+    device rollout scan (task='reverie'), so both produce bit-identical
+    logits/actions for the same per-step rng (same invariant as
+    :func:`_make_policy_core`)."""
+
+    expand_obs = make_expand_obs(36, cfg.angle_feat_size)
+
+    def core(params, cparams, txt_embeds, txt_mask, hist_cache, hist_len, t,
+             pano_feat, view_index, cand_point, cand_ang,
+             obj_fts, obj_angs, obj_pos, obj_mask,
+             live, forbid, given_action, rng,
+             mode: str, deterministic: bool):
+        h_max = hist_cache.shape[1]
+        k_plan, k_critic, k_hist, k_act = jax.random.split(rng, 4)
+        apply = partial(model.apply, {"params": params})
+        ob = expand_obs(pano_feat, view_index, cand_point, cand_ang)
+        ob_ang = ob["ob_ang"]
+        n_ob = ob_ang.shape[1]
+        stop_slot = n_ob - 1 - 36  # [C cands | STOP | 36 pano views]
+        act_logits, obj_logits, state = apply(
+            txt_embeds, txt_mask, hist_cache, _hist_mask(hist_len, h_max),
+            ob["ob_img"], ob["ob_ang"], ob["ob_nav"], ob["ob_mask"],
+            obj_fts, obj_angs, obj_pos, obj_mask, deterministic,
+            method=HAMT.plan_ref, rngs={"dropout": k_plan},
+        )
+        logits = _full_logits(act_logits, obj_logits, stop_slot)
+        masked_logits = jnp.where(forbid, -jnp.inf, logits)
+        if mode == "sample":
+            action = jax.random.categorical(k_act, masked_logits, axis=-1)
+        elif mode == "argmax":
+            action = jnp.argmax(masked_logits, axis=-1)
+        elif mode == "teacher":
+            action = given_action
+        else:
+            raise ValueError(mode)
+        action = action.astype(jnp.int32)
+
+        value = critic.apply({"params": cparams}, state, deterministic,
+                             rngs={"dropout": k_critic})
+        # stop (appended slot) and layout STOP both have zero angle
+        gather_a = jnp.where(action >= n_ob, stop_slot, action)
+        act_ang = jnp.take_along_axis(
+            ob_ang, gather_a[:, None, None], axis=1
+        ).squeeze(1)
+        new_tok = apply(
+            ob["hist_img"], act_ang, t, ob["pano_img"], ob["pano_ang"],
+            deterministic, method=HAMT.encode_history,
+            rngs={"dropout": k_hist},
+        )
+        b = hist_cache.shape[0]
+        t_vec = jnp.broadcast_to(jnp.asarray(t, jnp.int32), (b,))
+        hist_cache = hist_cache.at[jnp.arange(b), t_vec + 1].set(
+            new_tok.astype(hist_cache.dtype)
+        )
+        hist_len = hist_len + live.astype(jnp.int32)
+        return action, logits, obj_logits, value, hist_cache, hist_len
+
+    return core
+
+
 def build_slot_reset(model: HAMT):
     """Reset selected history-cache slots to a fresh episode state
     (continuation-packed eval: a finished slot takes the next item)."""
@@ -430,6 +510,13 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
       distance (midstop then goal), failed (mid)stop force-ends the
       episode; inputs ``ref_cost``/``ref_len`` + ``mid_cost (B, N)`` +
       ``goal_cost (B, N)``.
+    - 'reverie': ReverieAgent (reverie/agent.py:251-304 action space +
+      base R2R shaping) — the policy core is plan_ref with per-node
+      object-table gathers, the action space appends the obj-stop slot,
+      and the multi-goal distance comes from ``goal_cost (B, N)`` (min
+      over object-visible viewpoints, reverie/env.py:206-214); requires
+      the ``obj_tables`` argument. nDTW extends only on candidate moves
+      (host parity: env_actions = a_t < stop_slot, reverie agent).
 
     Dropout/sampling keys mirror the host loop (step_key(base, t), same
     split order via the shared policy core), so logits and trajectories
@@ -441,13 +528,18 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
       -> (ep dict for scan replay, extras dict)
     """
     expand_obs = make_expand_obs(36, cfg.angle_feat_size, ob_type)
-    core = _make_policy_core(model, critic, expand_obs)
-    use_ndtw = task in ("r2r", "r2r_back")
+    if task == "reverie":
+        core = _make_ref_policy_core(model, critic, cfg)
+        ang_tab = _obj_angle_table(cfg.angle_feat_size)
+    else:
+        core = _make_policy_core(model, critic, expand_obs)
+    use_ndtw = task in ("r2r", "r2r_back", "reverie")
 
     @partial(jax.jit, static_argnames=("deterministic",))
     def device_rollout(params, cparams, txt_ids, txt_mask, rng,
                        feat_table, nav, start_node, start_view, offs,
-                       task_inputs, deterministic: bool = False):
+                       task_inputs, obj_tables=None,
+                       deterministic: bool = False):
         b = start_node.shape[0]
         stop = nav["nbr_global"].shape[1]  # slot layout: [C cands | STOP | pano]
         apply = partial(model.apply, {"params": params})
@@ -516,14 +608,13 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
         else:
             rstate["last_dist"] = goal_dist(start_node)
 
-        def reward_and_end(st, ended, live, action, new_node):
-            stopped = action == stop
+        def reward_and_end(st, ended, live, stopped, extend, new_node):
+            # ``stopped``: the task's stop action was taken; ``extend``:
+            # the nDTW prediction path grows this step (host parity:
+            # env_actions >= 0 — live and not STOP for r2r/cvdn/
+            # r2r_back, candidate moves only for reverie)
             st_new = dict(st)
             if use_ndtw:
-                # host parity: the prediction path (nDTW DP) extends
-                # whenever env_actions >= 0, i.e. live and not STOP —
-                # even for no-op picks of non-candidate slots
-                extend = live & ~stopped
                 dp_new = _dp_extend(st["dp"], ref_cost_at(new_node))
                 dp = jnp.where(extend[:, None], dp_new, st["dp"])
                 cur_ndtw = ndtw_val(dp)
@@ -571,7 +662,10 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                 new_ended = ended | stopped
             return reward, st_new, new_ended
 
-        forbid = jnp.zeros((b, stop + 1 + 36), bool)
+        n_ob = stop + 1 + 36
+        # reverie appends the obj-stop slot to the action space
+        stop_action = n_ob if task == "reverie" else stop
+        forbid = jnp.zeros((b, n_ob + (1 if task == "reverie" else 0)), bool)
         zeros_i = jnp.zeros((b,), jnp.int32)
 
         def body(carry, x):
@@ -580,12 +674,24 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
             live = ~ended
             cg, valid, cand_point, cand_ang = cand_tables(node, view)
             pano = feat_table[node]
-            action, logits, value, hist_cache, hist_len = core(
-                params, cparams, txt_embeds, txt_mask, hist_cache, hist_len,
-                t, pano, view, cand_point, cand_ang, live, forbid, zeros_i,
-                key, "sample", deterministic)
+            if task == "reverie":
+                om = obj_tables["mask"][node]
+                ov = obj_tables["view"][node]
+                obj_angs = jnp.where(om[..., None],
+                                     ang_tab[view[:, None], ov], 0.0)
+                action, logits, _, value, hist_cache, hist_len = core(
+                    params, cparams, txt_embeds, txt_mask, hist_cache,
+                    hist_len, t, pano, view, cand_point, cand_ang,
+                    obj_tables["fts"][node], obj_angs,
+                    obj_tables["pos"][node], om,
+                    live, forbid, zeros_i, key, "sample", deterministic)
+            else:
+                action, logits, value, hist_cache, hist_len = core(
+                    params, cparams, txt_embeds, txt_mask, hist_cache,
+                    hist_len, t, pano, view, cand_point, cand_ang, live,
+                    forbid, zeros_i, key, "sample", deterministic)
 
-            rec_action = jnp.where(live, action, stop)
+            rec_action = jnp.where(live, action, stop_action)
             slot = jnp.clip(action, 0, stop - 1)
             tgt = jnp.take_along_axis(cg, slot[:, None], 1)[:, 0]
             tgt_ok = jnp.take_along_axis(valid, slot[:, None], 1)[:, 0]
@@ -595,8 +701,11 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                 moved, jnp.take_along_axis(cand_point, slot[:, None], 1)[:, 0],
                 view)
 
+            stopped = action == stop_action
+            extend = (live & (action < stop) if task == "reverie"
+                      else live & ~stopped)
             reward, rstate, new_ended = reward_and_end(
-                rstate, ended, live, action, new_node)
+                rstate, ended, live, stopped, extend, new_node)
 
             carry = (new_ended, new_node, new_view, hist_cache, hist_len,
                      rstate)

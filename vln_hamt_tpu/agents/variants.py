@@ -27,7 +27,6 @@ class R2RBackAgent(HAMTAgent):
     #: two-phase rewards are compiled into the device rollout scan
     #: (rollout.py task='r2r_back'); parity-tested vs the host hooks
     device_rollout_task = "r2r_back"
-    supports_packed_eval = False  # two-phase episodes + midstop output
 
     def _device_rollout_inputs(self, env, obs) -> Dict[str, np.ndarray]:
         ins = super()._device_rollout_inputs(env, obs)
@@ -93,6 +92,25 @@ class R2RBackAgent(HAMTAgent):
         ep_state["last_dist"] = new_last
         ep_state["last_ndtw"] = cur_ndtw
         return rewards
+
+    # ------------------------------------ packed-eval per-slot phase
+    def _packed_slot_init(self, env, i) -> Dict[str, Any]:
+        return {"midstop": None}
+
+    def _packed_slot_done(self, st, g, i, a_t_i, steps) -> bool:
+        """Two-phase termination (agent_r2rback.py:194-198,275-277): the
+        first STOP records the midstop and the episode continues back
+        toward the start; the second STOP (or the step budget) ends."""
+        env = g.env
+        stop = self.stop_slot
+        if a_t_i == stop and st["midstop"] is None:
+            graph = env.sim.graph(i)
+            st["midstop"] = graph.node_ids[int(env.sim.node[i])]
+            return steps >= env.max_action_len
+        return a_t_i == stop or steps >= env.max_action_len
+
+    def _packed_slot_result(self, st, pred: dict) -> None:
+        pred["midstop"] = st["midstop"]
 
     def _update_ended(self, ended, a_t, ep_state, train_rl: bool) -> np.ndarray:
         """agent_r2rback.py:275-277: second stop ends; first stop only

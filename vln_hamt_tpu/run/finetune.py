@@ -323,7 +323,12 @@ def valid(cfg: HAMTConfig, ckpt: Optional[str], val_envs: Dict[str, object],
             with open(path, "w") as f:
                 json.dump(
                     [{"instr_id": p["instr_id"],
-                      "trajectory": [[vp, h, e] for vp, h, e in p["trajectory"]]}
+                      "trajectory": [[vp, h, e] for vp, h, e in p["trajectory"]],
+                      # task extras ride along like the reference's raw
+                      # get_results dumps (reverie predObjId, r2rback
+                      # midstop; main_navref.py:252-256)
+                      **{k: p[k] for k in ("predObjId", "midstop")
+                         if k in p}}
                      for p in merged], f, sort_keys=True, indent=2)
     return results
 
