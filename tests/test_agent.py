@@ -118,6 +118,11 @@ def test_feature_table_il_matches_plain(tiny_world):
     losses = {}
     for table in (False, True):
         _, agent = make(table)
+        # pin the rollout-then-replay path: without the table there are
+        # no nav tables so the fused one-program update is unavailable;
+        # the comparison must isolate the TRANSPORT (fused-vs-replay
+        # parity is covered by test_device_rollout_matches_host)
+        agent.fused_sample_update = False
         out = [float(agent.train_iteration("teacher")["loss"])
                for _ in range(3)]
         # one IL+RL iteration: rollout policy steps + replay must also be
@@ -176,6 +181,16 @@ def test_device_rollout_matches_host(tiny_world):
     h = [float(a3.train_iteration("sample")["loss"]) for _ in range(2)]
     d = [float(a4.train_iteration("sample")["loss"]) for _ in range(2)]
     np.testing.assert_allclose(h, d, rtol=2e-5)
+
+    # the fused one-program update (IL + rollout-with-grad + A2C, no
+    # replay forward) must produce the same losses as rollout-then-
+    # replay: the replay is bit-identical to the rollout by the shared
+    # fold_in keys, so differentiating through the rollout is the same
+    # estimator
+    a5 = make()
+    a5.fused_sample_update = False
+    two = [float(a5.train_iteration("sample")["loss"]) for _ in range(2)]
+    np.testing.assert_allclose(two, d, rtol=2e-5)
 
 
 def test_rl_replay_parity_with_pallas_dropout(tiny_world):
@@ -238,6 +253,22 @@ def test_packed_eval_matches_lockstep(setup):
     packed1 = {p["instr_id"]: [x[0] for x in p["trajectory"]]
                for p in agent.eval_split_packed(pipeline=1)}
     assert packed1 == packed
+
+
+def test_packed_eval_tiny_split(setup):
+    """Splits smaller than a batch: slots are filled by cycling the
+    items (_PackedEvalGroup.__init__) and the duplicate episodes
+    resolve to the FIRST prediction — each item predicted exactly once,
+    identical to the lock-step evaluator."""
+    cfg, env, agent = setup
+    items = list(env.data)[: env.batch_size - 1]
+    small = env.clone_shell(items)
+    lock = {p["instr_id"]: [x[0] for x in p["trajectory"]]
+            for p in agent.eval_split(small)}
+    packed = {p["instr_id"]: [x[0] for x in p["trajectory"]]
+              for p in agent.eval_split_packed(small)}
+    assert set(packed) == {it["instr_id"] for it in items}
+    assert packed == lock
 
 
 def test_save_load_roundtrip(setup, tmp_path):

@@ -144,6 +144,7 @@ class HAMTAgent:
 
         self._il_update = jax.jit(self._il_update_fn)
         self._il_rl_update = jax.jit(self._il_rl_update_fn)
+        self._fused_sample_update = jax.jit(self._fused_sample_update_fn)
         self.logs: Dict[str, List[float]] = defaultdict(list)
         self._iter_rng = jax.random.PRNGKey(seed + 17)
         self._feat_table = None  # device (N, V, D); enable_feature_table
@@ -154,6 +155,11 @@ class HAMTAgent:
     # R2R reward shaping is baked into the device rollout scan; task
     # variants with different rewards keep the host rollout
     device_rollout_rewards = True
+    #: 'sample' feedback as ONE jitted program (IL + rollout-with-grad +
+    #: A2C + optimizer) instead of rollout-then-replay; losses are
+    #: equal by the replay-parity invariant (tested), one transformer
+    #: sweep cheaper per iteration
+    fused_sample_update = True
 
     def enable_feature_table(self, env: Optional[R2RNavEnv] = None) -> None:
         """Switch IL episode transport to device-resident features.
@@ -323,6 +329,60 @@ class HAMTAgent:
         cparams = optax.apply_updates(state_cparams, cupdates)
         return params, cparams, opt_state, copt_state, loss, aux
 
+    def _fused_il_loss(self, params, cparams, il_ep, il_rng, weight,
+                       feat_table, obj_tables):
+        """IL half of the fused sample update (REVERIE overrides with
+        its dual-CE loss + object tables)."""
+        return self._il_loss(params, cparams, il_ep, il_rng, weight,
+                             feat_table)
+
+    def _fused_sample_update_fn(self, state_params, state_cparams, opt_state,
+                                copt_state, il_ep, il_rng, il_weight, rins,
+                                rl_rng, feat_table, nav, obj_tables=None):
+        """ONE program for the whole 'sample' iteration: IL episode loss
+        + the sampling rollout WITH gradients + the A2C loss on the
+        rollout's own logits/values + both optimizer steps.
+
+        The two-step path (device rollout, then `_il_rl_update` replay)
+        re-runs the rollout's forward under grad; because the replay is
+        bit-identical to the rollout (same fold_in keys — the replay-
+        parity invariant), differentiating THROUGH the rollout scan
+        computes the same losses/gradients while skipping that second
+        forward: 4 transformer sweeps per iteration instead of 5.
+        Sampling is integer-valued (no gradient path through actions or
+        rewards), so this is exactly the REINFORCE/A2C estimator of the
+        replay formulation.
+        """
+        rollout_raw = self._device_rollout_fn.raw
+
+        def loss_fn(params, cparams):
+            l1, a1 = self._fused_il_loss(params, cparams, il_ep, il_rng,
+                                         il_weight, feat_table, obj_tables)
+            ep, extras = rollout_raw(
+                params, cparams, rins["txt_ids"], rins["txt_mask"], rl_rng,
+                feat_table, nav, rins["start_node"], rins["start_view"],
+                rins["offs"], rins["task_inputs"], obj_tables=obj_tables,
+                deterministic=False, compute_bootstrap=True)
+            actions = jnp.moveaxis(ep["actions"], 0, 1)  # (T, B)
+            tcfg = self.cfg.train
+            last_value = jnp.where(extras["bootstrap_mask"],
+                                   extras["last_value"], 0.0)
+            l2, a2 = a2c_loss(
+                extras["rollout_logits"], actions, extras["values"],
+                extras["rewards"], extras["masks"], last_value,
+                gamma=tcfg.gamma, entropy_weight=tcfg.entropy_loss_weight,
+                normalize=tcfg.normalize_loss)
+            a2["RL_loss"] = l2
+            return l1 + l2, {**a1, **a2}
+
+        (loss, aux), (gp, gc) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state_params, state_cparams)
+        updates, opt_state = self.tx.update(gp, opt_state, state_params)
+        params = optax.apply_updates(state_params, updates)
+        cupdates, copt_state = self.ctx.update(gc, copt_state, state_cparams)
+        cparams = optax.apply_updates(state_cparams, cupdates)
+        return params, cparams, opt_state, copt_state, loss, aux
+
     # ----------------------------------------------------- interactive
     def interactive_rollout(
         self,
@@ -480,28 +540,26 @@ class HAMTAgent:
     #: (rollout.py:build_device_rollout); variant agents override
     device_rollout_task = "r2r"
 
-    def device_rollout_iteration(self, rng: jax.Array):
-        """One RL sampling rollout entirely on device.
+    def _ensure_device_rollout_fn(self):
+        if self._device_rollout_fn is None:
+            from .rollout import build_device_rollout
 
-        The host only resets the env (table mode: no feature work) and
-        ships start poses + the task's per-item cost slabs
-        (:meth:`_device_rollout_inputs`); the graph walk, sampling,
-        history, reward shaping, and episode recording all run inside
-        one jitted ``lax.scan`` (rollout.py:build_device_rollout).
-        """
-        from .rollout import build_device_rollout
+            env = self.env
+            self._device_rollout_fn = build_device_rollout(
+                self.model, self.critic, self.cfg.model, env.max_action_len,
+                ob_type=self.cfg.env.ob_type, error_margin=env.error_margin,
+                task=self.device_rollout_task)
+        return self._device_rollout_fn
 
+    def _device_rollout_args(self):
+        """Host prep for a device rollout: reset the env, ship start
+        poses + the task's cost slabs, shard over 'data'."""
         env = self.env
         obs = env.reset()
         b = obs.batch_size
         offs = np.array([env.feat_offsets[it["scan"]] for it in env.batch],
                         np.int32)
         task_inputs = self._device_rollout_inputs(env, obs)
-        if self._device_rollout_fn is None:
-            self._device_rollout_fn = build_device_rollout(
-                self.model, self.critic, self.cfg.model, env.max_action_len,
-                ob_type=self.cfg.env.ob_type, error_margin=env.error_margin,
-                task=self.device_rollout_task)
         txt_ids, txt_mask = env.txt_batch()
         # batch-leading inputs shard over 'data'; tables are replicated
         ins = self._shard_data(
@@ -511,12 +569,25 @@ class HAMTAgent:
                  offs=jnp.asarray(offs),
                  **{k: jnp.asarray(v) for k, v in task_inputs.items()}),
             batch_size=b)
-        return self._device_rollout_fn(
+        return ins, list(task_inputs)
+
+    def device_rollout_iteration(self, rng: jax.Array):
+        """One RL sampling rollout entirely on device.
+
+        The host only resets the env (table mode: no feature work) and
+        ships start poses + the task's per-item cost slabs
+        (:meth:`_device_rollout_inputs`); the graph walk, sampling,
+        history, reward shaping, and episode recording all run inside
+        one jitted ``lax.scan`` (rollout.py:build_device_rollout).
+        """
+        fn = self._ensure_device_rollout_fn()
+        ins, tkeys = self._device_rollout_args()
+        return fn(
             self.state.params, self.state.cparams,
             ins["txt_ids"], ins["txt_mask"], rng,
             self._feat_table, self._nav_tables,
             ins["start_node"], ins["start_view"], ins["offs"],
-            {k: ins[k] for k in task_inputs},
+            {k: ins[k] for k in tkeys},
             obj_tables=getattr(self, "_obj_tables", None),
             deterministic=False)
 
@@ -698,23 +769,41 @@ class HAMTAgent:
             il_ep = self._ep_to_device(self.env.teacher_episode())
             il_rng = self._next_rng()
             rl_rng = self._next_rng()
-            if (self.device_rollout_rewards and self._nav_tables is not None
-                    and self.env.feat_offsets is not None):
-                # fully device-resident sampling rollout: one scan, no
-                # per-step host round trips
-                rl_ep, extras = self.device_rollout_iteration(rl_rng)
-                extras = {"ep": rl_ep, **extras}
+            use_device = (self.device_rollout_rewards
+                          and self._nav_tables is not None
+                          and self.env.feat_offsets is not None)
+            if use_device and self.fused_sample_update:
+                # one program: IL + sampling rollout WITH grads + A2C +
+                # optimizer step (no separate replay forward)
+                self._ensure_device_rollout_fn()
+                ins, tkeys = self._device_rollout_args()
+                rins = {k: ins[k] for k in ("txt_ids", "txt_mask",
+                                            "start_node", "start_view",
+                                            "offs")}
+                rins["task_inputs"] = {k: ins[k] for k in tkeys}
+                (params, cparams, opt_state, copt_state, loss,
+                 aux) = self._fused_sample_update(
+                    st.params, st.cparams, st.opt_state, st.copt_state,
+                    il_ep, il_rng, tcfg.ml_weight, rins, rl_rng,
+                    self._feat_table, self._nav_tables,
+                    getattr(self, "_obj_tables", None))
             else:
-                _, extras = self.interactive_rollout(
-                    "sample", rl_rng, deterministic=False,
-                    record_for_replay=True
+                if use_device:
+                    # fully device-resident sampling rollout: one scan,
+                    # no per-step host round trips
+                    rl_ep, extras = self.device_rollout_iteration(rl_rng)
+                    extras = {"ep": rl_ep, **extras}
+                else:
+                    _, extras = self.interactive_rollout(
+                        "sample", rl_rng, deterministic=False,
+                        record_for_replay=True
+                    )
+                params, cparams, opt_state, copt_state, loss, aux = self._il_rl_update(
+                    st.params, st.cparams, st.opt_state, st.copt_state,
+                    il_ep, il_rng, tcfg.ml_weight, extras["ep"], extras["rewards"],
+                    extras["masks"], extras["bootstrap_mask"], rl_rng,
+                    self._feat_table,
                 )
-            params, cparams, opt_state, copt_state, loss, aux = self._il_rl_update(
-                st.params, st.cparams, st.opt_state, st.copt_state,
-                il_ep, il_rng, tcfg.ml_weight, extras["ep"], extras["rewards"],
-                extras["masks"], extras["bootstrap_mask"], rl_rng,
-                self._feat_table,
-            )
         else:
             raise ValueError(f"bad feedback {feedback!r}")
 

@@ -300,6 +300,11 @@ class ReverieAgent(HAMTAgent):
     def _packed_slot_result(self, st, pred):
         pred["predObjId"] = st.get("predObjId", str(None))
 
+    def _fused_il_loss(self, params, cparams, il_ep, il_rng, weight,
+                       feat_table, obj_tables):
+        return self._ref_il_loss(params, cparams, il_ep, il_rng, weight,
+                                 feat_table, obj_tables)
+
     # ------------------------------------------------------------ losses
     def _ref_il_loss(self, params, cparams, ep, rng, weight,
                      feat_table=None, obj_tables=None):
@@ -594,24 +599,41 @@ class ReverieAgent(HAMTAgent):
             il_ep = self._ref_teacher_episode()
             il_rng = self._next_rng()
             rl_rng = self._next_rng()
-            if (self.device_rollout_rewards and self._nav_tables is not None
-                    and self.env.feat_offsets is not None):
-                # object-grounded sampling rollout as ONE device scan
-                # (rollout.py task='reverie'): per-step object rows are
-                # table gathers, no host round trips
-                rl_ep, dev_extras = self.device_rollout_iteration(rl_rng)
-                extras = {"ep": rl_ep, **dev_extras}
-            else:
-                _, extras = self.interactive_rollout(
-                    "sample", rl_rng, deterministic=False,
-                    record_for_replay=True)
-            params, cparams, opt_state, copt_state, loss, aux = (
-                self._ref_il_rl_update(
+            use_device = (self.device_rollout_rewards
+                          and self._nav_tables is not None
+                          and self.env.feat_offsets is not None)
+            if use_device and self.fused_sample_update:
+                # one program: dual-CE IL + object-grounded rollout WITH
+                # grads + A2C + optimizer (no replay forward)
+                self._ensure_device_rollout_fn()
+                ins, tkeys = self._device_rollout_args()
+                rins = {k: ins[k] for k in ("txt_ids", "txt_mask",
+                                            "start_node", "start_view",
+                                            "offs")}
+                rins["task_inputs"] = {k: ins[k] for k in tkeys}
+                (params, cparams, opt_state, copt_state, loss,
+                 aux) = self._fused_sample_update(
                     st.params, st.cparams, st.opt_state, st.copt_state,
-                    il_ep, il_rng, tcfg.ml_weight, extras["ep"],
-                    extras["rewards"], extras["masks"],
-                    extras["bootstrap_mask"], rl_rng,
-                    self._feat_table, self._obj_tables))
+                    il_ep, il_rng, tcfg.ml_weight, rins, rl_rng,
+                    self._feat_table, self._nav_tables, self._obj_tables)
+            else:
+                if use_device:
+                    # object-grounded sampling rollout as ONE device
+                    # scan (rollout.py task='reverie'): per-step object
+                    # rows are table gathers, no host round trips
+                    rl_ep, dev_extras = self.device_rollout_iteration(rl_rng)
+                    extras = {"ep": rl_ep, **dev_extras}
+                else:
+                    _, extras = self.interactive_rollout(
+                        "sample", rl_rng, deterministic=False,
+                        record_for_replay=True)
+                params, cparams, opt_state, copt_state, loss, aux = (
+                    self._ref_il_rl_update(
+                        st.params, st.cparams, st.opt_state, st.copt_state,
+                        il_ep, il_rng, tcfg.ml_weight, extras["ep"],
+                        extras["rewards"], extras["masks"],
+                        extras["bootstrap_mask"], rl_rng,
+                        self._feat_table, self._obj_tables))
         else:
             raise ValueError(feedback)
         from .agent import TrainState

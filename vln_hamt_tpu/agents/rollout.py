@@ -535,11 +535,11 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
         core = _make_policy_core(model, critic, expand_obs)
     use_ndtw = task in ("r2r", "r2r_back", "reverie")
 
-    @partial(jax.jit, static_argnames=("deterministic",))
-    def device_rollout(params, cparams, txt_ids, txt_mask, rng,
-                       feat_table, nav, start_node, start_view, offs,
-                       task_inputs, obj_tables=None,
-                       deterministic: bool = False):
+    def rollout_raw(params, cparams, txt_ids, txt_mask, rng,
+                    feat_table, nav, start_node, start_view, offs,
+                    task_inputs, obj_tables=None,
+                    deterministic: bool = False,
+                    compute_bootstrap: bool = False):
         b = start_node.shape[0]
         stop = nav["nbr_global"].shape[1]  # slot layout: [C cands | STOP | pano]
         apply = partial(model.apply, {"params": params})
@@ -716,8 +716,12 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
         keys = jax.vmap(lambda t: step_key(rng, t))(jnp.arange(t_max))
         carry0 = (jnp.zeros((b,), bool), start_node, start_view,
                   hist_cache, hist_len, rstate)
+        # remat per step so the fused-update path (gradients THROUGH
+        # this scan) has the same memory envelope as the replay scan;
+        # free for the inference-only call (no backward is built)
+        scan_body = jax.checkpoint(body) if cfg.remat else body
         carry, ys = jax.lax.scan(
-            body, carry0, (jnp.arange(t_max, dtype=jnp.int32), keys))
+            scan_body, carry0, (jnp.arange(t_max, dtype=jnp.int32), keys))
         ended, node, view = carry[0], carry[1], carry[2]
         (actions, logits, values, rewards, lives,
          nodes, views, cpoints, cangs) = ys
@@ -737,11 +741,50 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
             "final_cand_ang": final_ca,
         }
         extras = {
-            "rewards": rewards,                       # (T, B)
-            "masks": lives.astype(jnp.float32),       # (T, B)
-            "bootstrap_mask": ~ended,                 # (B,)
-            "rollout_logits": logits,                 # (T, B, N)
+            "rewards": jax.lax.stop_gradient(rewards),  # (T, B)
+            "masks": lives.astype(jnp.float32),         # (T, B)
+            "bootstrap_mask": ~ended,                   # (B,)
+            "rollout_logits": logits,                   # (T, B, N)
+            "values": values,                           # (T, B)
         }
+
+        if compute_bootstrap:
+            # final-obs bootstrap value (episode_forward's final branch;
+            # agent_cmt.py:481-484) so the fused update needs no replay
+            k_plan, k_critic = jax.random.split(
+                jax.random.fold_in(rng, FINAL_KEY_SALT))
+            fob = expand_obs(feat_table[node], view, final_cp, final_ca)
+            h_max = hist_cache.shape[1]
+            hist_cache_f, hist_len_f = carry[3], carry[4]
+            if task == "reverie":
+                fom = obj_tables["mask"][node]
+                fov = obj_tables["view"][node]
+                fangs = jnp.where(fom[..., None],
+                                  ang_tab[view[:, None], fov], 0.0)
+                _, _, last_state = apply(
+                    txt_embeds, txt_mask, hist_cache_f,
+                    _hist_mask(hist_len_f, h_max),
+                    fob["ob_img"], fob["ob_ang"], fob["ob_nav"],
+                    fob["ob_mask"], obj_tables["fts"][node], fangs,
+                    obj_tables["pos"][node], fom, deterministic,
+                    method=HAMT.plan_ref, rngs={"dropout": k_plan},
+                )
+            else:
+                _, last_state = apply(
+                    txt_embeds, txt_mask, hist_cache_f,
+                    _hist_mask(hist_len_f, h_max),
+                    fob["ob_img"], fob["ob_ang"], fob["ob_nav"],
+                    fob["ob_mask"], deterministic,
+                    method=HAMT.plan, rngs={"dropout": k_plan},
+                )
+            last_value = critic.apply({"params": cparams}, last_state,
+                                      deterministic,
+                                      rngs={"dropout": k_critic})
+            extras["last_value"] = jax.lax.stop_gradient(last_value)
+
         return ep, extras
 
+    device_rollout = jax.jit(
+        rollout_raw, static_argnames=("deterministic", "compute_bootstrap"))
+    device_rollout.raw = rollout_raw
     return device_rollout
