@@ -84,6 +84,9 @@ def main() -> None:
     # iteration instead of device-resident table + (B,T) index gather
     if os.environ.get("BENCH_FEAT_TABLE", "1") == "1":
         agent.enable_feature_table()
+    # BENCH_MERGED=0 falls back to the fused two-scan 'sample' update
+    # (IL scan + rollout scan) instead of the merged single 2B-lane scan
+    agent.merged_sample_update = os.environ.get("BENCH_MERGED", "1") == "1"
 
     for _ in range(WARMUP_STEPS):
         agent.train_iteration("teacher")

@@ -193,6 +193,57 @@ def test_device_rollout_matches_host(tiny_world):
     np.testing.assert_allclose(two, d, rtol=2e-5)
 
 
+def test_merged_sample_update(tiny_world):
+    """The merged single-scan 'sample' update (IL replay as extra
+    teacher-forced lanes of the rollout scan, PARITY.md #18): with
+    dropout OFF the IL lanes must reproduce episode_forward's logits
+    exactly; with dropout on, training must run to finite losses."""
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg(tiny_world)
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates,
+                   image_feat_size=cfg.env.image_feat_size)
+
+    def make():
+        env = R2RNavEnv(
+            tiny_world.graphs, tiny_world.feat_db, tiny_world.instr_data,
+            spec, batch_size=cfg.train.batch_size,
+            max_instr_len=cfg.env.max_instr_len,
+            max_action_len=cfg.env.max_action_len, seed=0)
+        agent = HAMTAgent(cfg, env, seed=0)
+        agent.enable_feature_table()
+        return agent
+
+    a = make()
+    a.merged_sample_update = True
+    out = [a.train_iteration("sample") for _ in range(2)]
+    assert np.isfinite([o["loss"] for o in out]).all()
+    assert np.isfinite([o["RL_loss"] for o in out]).all()
+
+    # deterministic IL-lane parity vs episode_forward
+    b = make()
+    il_ep = b._ep_to_device(b.env.teacher_episode())
+    b._ensure_device_rollout_fn()
+    ins, tkeys = b._device_rollout_args()
+    il = {k: il_ep[k] for k in ("node_idx", "view_index", "actions",
+                                "step_mask")}
+    txt_ids = jnp.concatenate([ins["txt_ids"], il_ep["txt_ids"]], 0)
+    txt_mask = jnp.concatenate([ins["txt_mask"], il_ep["txt_mask"]], 0)
+    rng = jax.random.PRNGKey(7)
+    _, extras = b._device_rollout_fn.raw(
+        b.state.params, b.state.cparams, txt_ids, txt_mask, rng,
+        b._feat_table, b._nav_tables, ins["start_node"], ins["start_view"],
+        ins["offs"], {k: ins[k] for k in tkeys},
+        deterministic=True, compute_bootstrap=True, il=il)
+    ref = b.episode_forward(b.state.params, b.state.cparams, il_ep, rng,
+                            deterministic=True, feat_table=b._feat_table)
+    got, want = np.asarray(extras["il_logits"]), np.asarray(ref.logits)
+    fin = np.isfinite(want)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got[fin], want[fin], rtol=2e-4, atol=2e-4)
+    assert np.array_equal(np.isfinite(got), fin)
+
+
 def test_rl_replay_parity_with_pallas_dropout(tiny_world):
     """In-kernel attention dropout (ops/attention.py) must preserve the
     replay-parity invariant: the policy-step and scan-replay programs

@@ -145,11 +145,13 @@ class HAMTAgent:
         self._il_update = jax.jit(self._il_update_fn)
         self._il_rl_update = jax.jit(self._il_rl_update_fn)
         self._fused_sample_update = jax.jit(self._fused_sample_update_fn)
+        self._merged_sample_update = jax.jit(self._merged_sample_update_fn)
         self.logs: Dict[str, List[float]] = defaultdict(list)
         self._iter_rng = jax.random.PRNGKey(seed + 17)
         self._feat_table = None  # device (N, V, D); enable_feature_table
         self._nav_tables = None  # device nav tables (device rollout)
         self._device_rollout_fn = None
+        self._replicate_fn = None  # multi-process output gather (_fetch)
         self.mesh = None  # jax.sharding.Mesh; enable_mesh
 
     # R2R reward shaping is baked into the device rollout scan; task
@@ -160,6 +162,12 @@ class HAMTAgent:
     #: equal by the replay-parity invariant (tested), one transformer
     #: sweep cheaper per iteration
     fused_sample_update = True
+    #: go further: run the IL replay as extra teacher-forced LANES of
+    #: the rollout scan itself (one T-step scan at batch 2B instead of
+    #: two at B). Different RNG draws than the two-scan paths (joint
+    #: dropout/sampling over the lanes — PARITY.md), so OFF by default
+    #: paths that need bit-parity; see _merged_sample_update_fn
+    merged_sample_update = False
 
     def enable_feature_table(self, env: Optional[R2RNavEnv] = None) -> None:
         """Switch IL episode transport to device-resident features.
@@ -250,6 +258,27 @@ class HAMTAgent:
             lambda a, b: jax.device_put(jnp.asarray(b, a.dtype), a.sharding),
             template, tree,
         )
+
+    def _fetch(self, x) -> np.ndarray:
+        """Device -> host value of a possibly data-sharded output.
+
+        Multi-PROCESS meshes (jax.distributed): a 'data'-sharded output
+        spans non-addressable devices, so np.asarray would raise; an
+        all-gather to a replicated layout (compiled, rides the
+        interconnect) makes every process hold the full value — each
+        host steps its full env replica with the global action vector
+        (the reference equivalent: DDP ranks step only their shard and
+        merge results, distributed.py:90-130; here env replicas stay in
+        lock-step instead)."""
+        if self.mesh is not None and jax.process_count() > 1:
+            if self._replicate_fn is None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._replicate_fn = jax.jit(
+                    lambda t: t,
+                    out_shardings=NamedSharding(self.mesh, P()))
+            x = self._replicate_fn(x)
+        return np.asarray(x)
 
     # ------------------------------------------------------------------
     def _next_rng(self) -> jax.Array:
@@ -383,6 +412,60 @@ class HAMTAgent:
         cparams = optax.apply_updates(state_cparams, cupdates)
         return params, cparams, opt_state, copt_state, loss, aux
 
+    def _merged_sample_update_fn(self, state_params, state_cparams, opt_state,
+                                 copt_state, il_ep, il_weight, rins, rng,
+                                 feat_table, nav):
+        """The merged 'sample' iteration: ONE T-step scan over
+        B_rl + B_il lanes (``build_device_rollout`` with ``il=`` lanes)
+        computes the sampling rollout AND the teacher-forced IL replay
+        together, then IL-CE + A2C + both optimizer steps — half the
+        sequential transformer evaluations of the fused two-scan path.
+        Per-step kernels at HAMT shapes are bandwidth-bound, so the
+        2x-wide batch is nearly free.
+
+        NOT bit-identical to the two-scan paths: dropout masks and
+        sampling gumbels are drawn jointly over the concatenated lanes
+        (PARITY.md) — an equally valid draw of the same estimator.
+        """
+        rollout_raw = self._device_rollout_fn.raw
+        tcfg = self.cfg.train
+
+        def loss_fn(params, cparams):
+            il = {k: il_ep[k] for k in
+                  ("node_idx", "view_index", "actions", "step_mask")}
+            txt_ids = jnp.concatenate(
+                [rins["txt_ids"], il_ep["txt_ids"]], axis=0)
+            txt_mask = jnp.concatenate(
+                [rins["txt_mask"], il_ep["txt_mask"]], axis=0)
+            ep, extras = rollout_raw(
+                params, cparams, txt_ids, txt_mask, rng,
+                feat_table, nav, rins["start_node"], rins["start_view"],
+                rins["offs"], rins["task_inputs"], deterministic=False,
+                compute_bootstrap=True, il=il)
+            teacher = jnp.moveaxis(il_ep["teacher"], 0, 1)  # (T, B_il)
+            b_il = il_ep["actions"].shape[0]
+            l1 = (il_loss(extras["il_logits"], teacher, IGNORE_ID)
+                  * il_weight / b_il)
+            actions = jnp.moveaxis(ep["actions"], 0, 1)  # (T, B)
+            last_value = jnp.where(extras["bootstrap_mask"],
+                                   extras["last_value"], 0.0)
+            l2, a2 = a2c_loss(
+                extras["rollout_logits"], actions, extras["values"],
+                extras["rewards"], extras["masks"], last_value,
+                gamma=tcfg.gamma, entropy_weight=tcfg.entropy_loss_weight,
+                normalize=tcfg.normalize_loss)
+            a2["RL_loss"] = l2
+            a2["IL_loss"] = l1
+            return l1 + l2, a2
+
+        (loss, aux), (gp, gc) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state_params, state_cparams)
+        updates, opt_state = self.tx.update(gp, opt_state, state_params)
+        params = optax.apply_updates(state_params, updates)
+        cupdates, copt_state = self.ctx.update(gc, copt_state, state_cparams)
+        cparams = optax.apply_updates(state_cparams, cupdates)
+        return params, cparams, opt_state, copt_state, loss, aux
+
     # ----------------------------------------------------- interactive
     def interactive_rollout(
         self,
@@ -490,11 +573,11 @@ class HAMTAgent:
                 feat_table=self._feat_table if use_table else None,
                 **step_ins,
             )
-            a_t = np.asarray(a_dev)
+            a_t = self._fetch(a_dev)
             step_mask[:, t] = live
             actions_rec[:, t] = np.where(live, a_t, stop)
             if record_for_replay:
-                logits_rec.append(np.asarray(logits))
+                logits_rec.append(self._fetch(logits))
 
             self._pre_env_step(t, a_t, live, ended, obs, ep_state, traj)
             env_actions = np.where(live & (a_t != stop), a_t, -1)
@@ -772,7 +855,21 @@ class HAMTAgent:
             use_device = (self.device_rollout_rewards
                           and self._nav_tables is not None
                           and self.env.feat_offsets is not None)
-            if use_device and self.fused_sample_update:
+            if (use_device and self.merged_sample_update
+                    and self.device_rollout_task != "reverie"):
+                # one scan: IL lanes ride INSIDE the rollout scan
+                self._ensure_device_rollout_fn()
+                ins, tkeys = self._device_rollout_args()
+                rins = {k: ins[k] for k in ("txt_ids", "txt_mask",
+                                            "start_node", "start_view",
+                                            "offs")}
+                rins["task_inputs"] = {k: ins[k] for k in tkeys}
+                (params, cparams, opt_state, copt_state, loss,
+                 aux) = self._merged_sample_update(
+                    st.params, st.cparams, st.opt_state, st.copt_state,
+                    il_ep, tcfg.ml_weight, rins, rl_rng,
+                    self._feat_table, self._nav_tables)
+            elif use_device and self.fused_sample_update:
                 # one program: IL + sampling rollout WITH grads + A2C +
                 # optimizer step (no separate replay forward)
                 self._ensure_device_rollout_fn()
@@ -1066,12 +1163,12 @@ class _PackedEvalGroup:
         """Host copy of the step's auxiliary output (e.g. REVERIE
         object logits), cached per consume."""
         if self._aux_np is None:
-            self._aux_np = np.asarray(self._aux_dev)
+            self._aux_np = self.a._fetch(self._aux_dev)
         return self._aux_np
 
     def consume(self) -> None:
         a, env, b, stop = self.a, self.env, self.b, self.stop
-        a_t = np.asarray(self._a_dev)  # blocks: device step + download
+        a_t = a._fetch(self._a_dev)  # blocks: device step + download
         self._a_dev = None
 
         env_actions = a._packed_env_actions(a_t, self.active)

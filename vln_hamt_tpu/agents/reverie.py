@@ -523,16 +523,16 @@ class ReverieAgent(HAMTAgent):
                     deterministic=deterministic, **feat_args,
                 )
             )
-            a_t = np.asarray(a_dev)
+            a_t = self._fetch(a_dev)
             step_mask[:, t] = live
             actions_rec[:, t] = np.where(live, a_t, stop)
             teacher_rec[:, t] = np.where(live, teacher_t, IGNORE_ID)
             ref_teacher_rec[:, t] = np.where(live, ref_t, IGNORE_ID)
             if record_for_replay:
-                logits_rec.append(np.asarray(logits))
+                logits_rec.append(self._fetch(logits))
 
             # record predObjId at (forced) stop (agent.py:298-304)
-            obj_np = np.asarray(obj_logits)
+            obj_np = self._fetch(obj_logits)
             for i in range(b):
                 stopping = live[i] and (a_t[i] >= self.num_ob_tokens
                                         or t == t_max - 1)

@@ -307,6 +307,12 @@ def _make_policy_core(model: HAMT, critic: Critic, expand_obs):
             action = jnp.argmax(masked_logits, axis=-1)
         elif mode == "teacher":
             action = given_action
+        elif mode == "mixed":
+            # per-lane: forced where given_action >= 0 (teacher/IL
+            # lanes), sampled otherwise (RL lanes) — the merged
+            # IL+rollout scan of build_device_rollout(il=...)
+            sampled = jax.random.categorical(k_act, masked_logits, axis=-1)
+            action = jnp.where(given_action >= 0, given_action, sampled)
         else:
             raise ValueError(mode)
         action = action.astype(jnp.int32)
@@ -387,6 +393,9 @@ def _make_ref_policy_core(model: HAMT, critic, cfg: ModelConfig):
             action = jnp.argmax(masked_logits, axis=-1)
         elif mode == "teacher":
             action = given_action
+        elif mode == "mixed":
+            sampled = jax.random.categorical(k_act, masked_logits, axis=-1)
+            action = jnp.where(given_action >= 0, given_action, sampled)
         else:
             raise ValueError(mode)
         action = action.astype(jnp.int32)
@@ -539,19 +548,37 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                     feat_table, nav, start_node, start_view, offs,
                     task_inputs, obj_tables=None,
                     deterministic: bool = False,
-                    compute_bootstrap: bool = False):
+                    compute_bootstrap: bool = False,
+                    il=None):
+        # ``il``: optional teacher-forced lanes merged INTO the same
+        # scan (the merged 'sample' update): a dict of batch-major
+        # (B_il, T) arrays node_idx / view_index / actions / step_mask
+        # from a recorded teacher episode. txt_ids/txt_mask must then be
+        # the concatenation [RL lanes | IL lanes]. The scan runs the
+        # policy core once per step over B + B_il lanes — IL lanes force
+        # the recorded action (mode='mixed'), take their pose from the
+        # record instead of graph transitions, and contribute no reward;
+        # their per-step logits come back in extras['il_logits'] for the
+        # CE loss. One T-step scan instead of two.
         b = start_node.shape[0]
+        b_il = 0 if il is None else il["actions"].shape[0]
+        bt = b + b_il
+        assert txt_ids.shape[0] == bt, (txt_ids.shape, b, b_il)
+        if il is not None and task == "reverie":
+            raise NotImplementedError(
+                "merged IL lanes need the dual-CE object targets; "
+                "REVERIE uses the fused two-scan update")
         stop = nav["nbr_global"].shape[1]  # slot layout: [C cands | STOP | pano]
         apply = partial(model.apply, {"params": params})
 
         txt_embeds = apply(txt_ids, txt_mask, deterministic,
                            method=HAMT.encode_text,
                            rngs={"dropout": jax.random.fold_in(rng, TXT_KEY_SALT)})
-        hist0 = apply(b, deterministic, method=HAMT.init_history,
+        hist0 = apply(bt, deterministic, method=HAMT.init_history,
                       rngs={"dropout": jax.random.fold_in(rng, HIST0_KEY_SALT)})
-        hist_cache = jnp.zeros((b, t_max + 1, cfg.hidden_size), hist0.dtype)
+        hist_cache = jnp.zeros((bt, t_max + 1, cfg.hidden_size), hist0.dtype)
         hist_cache = hist_cache.at[:, 0].set(hist0)
-        hist_len = jnp.ones((b,), jnp.int32)
+        hist_len = jnp.ones((bt,), jnp.int32)
 
         bi = jnp.arange(b)
 
@@ -665,31 +692,46 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
         n_ob = stop + 1 + 36
         # reverie appends the obj-stop slot to the action space
         stop_action = n_ob if task == "reverie" else stop
-        forbid = jnp.zeros((b, n_ob + (1 if task == "reverie" else 0)), bool)
+        forbid = jnp.zeros((bt, n_ob + (1 if task == "reverie" else 0)), bool)
         zeros_i = jnp.zeros((b,), jnp.int32)
 
         def body(carry, x):
             ended, node, view, hist_cache, hist_len, rstate = carry
-            t, key = x
             live = ~ended
-            cg, valid, cand_point, cand_ang = cand_tables(node, view)
-            pano = feat_table[node]
+            if il is None:
+                node_all, view_all, live_all = node, view, live
+                given, mode = zeros_i, "sample"
+            else:
+                # IL lanes take their pose from the recorded episode
+                # (no transitions) and force the recorded action
+                node_all = jnp.concatenate([node, x["il_node"]])
+                view_all = jnp.concatenate([view, x["il_view"]])
+                live_all = jnp.concatenate([live, x["il_live"]])
+                given = jnp.concatenate(
+                    [jnp.full((b,), -1, jnp.int32), x["il_act"]])
+                mode = "mixed"
+            cg, valid, cand_point, cand_ang = cand_tables(node_all, view_all)
+            pano = feat_table[node_all]
             if task == "reverie":
-                om = obj_tables["mask"][node]
-                ov = obj_tables["view"][node]
+                om = obj_tables["mask"][node_all]
+                ov = obj_tables["view"][node_all]
                 obj_angs = jnp.where(om[..., None],
-                                     ang_tab[view[:, None], ov], 0.0)
+                                     ang_tab[view_all[:, None], ov], 0.0)
                 action, logits, _, value, hist_cache, hist_len = core(
                     params, cparams, txt_embeds, txt_mask, hist_cache,
-                    hist_len, t, pano, view, cand_point, cand_ang,
-                    obj_tables["fts"][node], obj_angs,
-                    obj_tables["pos"][node], om,
-                    live, forbid, zeros_i, key, "sample", deterministic)
+                    hist_len, x["t"], pano, view_all, cand_point, cand_ang,
+                    obj_tables["fts"][node_all], obj_angs,
+                    obj_tables["pos"][node_all], om,
+                    live_all, forbid, given, x["key"], mode, deterministic)
             else:
                 action, logits, value, hist_cache, hist_len = core(
                     params, cparams, txt_embeds, txt_mask, hist_cache,
-                    hist_len, t, pano, view, cand_point, cand_ang, live,
-                    forbid, zeros_i, key, "sample", deterministic)
+                    hist_len, x["t"], pano, view_all, cand_point, cand_ang,
+                    live_all, forbid, given, x["key"], mode, deterministic)
+            il_logits = logits[b:]
+            action, logits, value = action[:b], logits[:b], value[:b]
+            cg, valid = cg[:b], valid[:b]
+            cand_point, cand_ang = cand_point[:b], cand_ang[:b]
 
             rec_action = jnp.where(live, action, stop_action)
             slot = jnp.clip(action, 0, stop - 1)
@@ -711,20 +753,31 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                      rstate)
             ys = (rec_action, logits, value, reward, live,
                   node, view, cand_point, cand_ang)
+            if il is not None:
+                ys = ys + (il_logits,)
             return carry, ys
 
-        keys = jax.vmap(lambda t: step_key(rng, t))(jnp.arange(t_max))
+        xs = {
+            "t": jnp.arange(t_max, dtype=jnp.int32),
+            "key": jax.vmap(lambda t: step_key(rng, t))(jnp.arange(t_max)),
+        }
+        if il is not None:
+            xs.update(
+                il_node=jnp.moveaxis(il["node_idx"], 0, 1).astype(jnp.int32),
+                il_view=jnp.moveaxis(il["view_index"], 0, 1),
+                il_act=jnp.moveaxis(il["actions"], 0, 1).astype(jnp.int32),
+                il_live=jnp.moveaxis(il["step_mask"], 0, 1),
+            )
         carry0 = (jnp.zeros((b,), bool), start_node, start_view,
                   hist_cache, hist_len, rstate)
         # remat per step so the fused-update path (gradients THROUGH
         # this scan) has the same memory envelope as the replay scan;
         # free for the inference-only call (no backward is built)
         scan_body = jax.checkpoint(body) if cfg.remat else body
-        carry, ys = jax.lax.scan(
-            scan_body, carry0, (jnp.arange(t_max, dtype=jnp.int32), keys))
+        carry, ys = jax.lax.scan(scan_body, carry0, xs)
         ended, node, view = carry[0], carry[1], carry[2]
         (actions, logits, values, rewards, lives,
-         nodes, views, cpoints, cangs) = ys
+         nodes, views, cpoints, cangs) = ys[:9]
 
         _, _, final_cp, final_ca = cand_tables(node, view)
         ep = {
@@ -747,6 +800,8 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
             "rollout_logits": logits,                   # (T, B, N)
             "values": values,                           # (T, B)
         }
+        if il is not None:
+            extras["il_logits"] = ys[9]                 # (T, B_il, N)
 
         if compute_bootstrap:
             # final-obs bootstrap value (episode_forward's final branch;
@@ -755,7 +810,9 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                 jax.random.fold_in(rng, FINAL_KEY_SALT))
             fob = expand_obs(feat_table[node], view, final_cp, final_ca)
             h_max = hist_cache.shape[1]
-            hist_cache_f, hist_len_f = carry[3], carry[4]
+            # RL lanes only (merged IL lanes need no bootstrap)
+            hist_cache_f, hist_len_f = carry[3][:b], carry[4][:b]
+            txt_embeds, txt_mask = txt_embeds[:b], txt_mask[:b]
             if task == "reverie":
                 fom = obj_tables["mask"][node]
                 fov = obj_tables["view"][node]

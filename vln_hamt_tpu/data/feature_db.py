@@ -85,7 +85,12 @@ class SyntheticFeatureDB(FeatureDB):
         key = (scan, viewpoint)
         if self._cache is not None and key in self._cache:
             return self._cache[key]
-        seed = abs(hash(f"{scan}_{viewpoint}")) % (2**32)
+        # zlib.crc32, NOT hash(): str hashing is salted per process
+        # (PYTHONHASHSEED), which would give every host of a
+        # multi-process run different "deterministic" features
+        import zlib
+
+        seed = zlib.crc32(f"{scan}_{viewpoint}".encode())
         rng = np.random.default_rng(seed)
         ft = rng.standard_normal((NUM_VIEWS, self.feat_dim), dtype=np.float32) * self.scale
         if self._cache is not None:

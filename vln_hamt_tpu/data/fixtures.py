@@ -44,7 +44,11 @@ def make_synthetic_graph(
     chain over a random ordering guarantees connectivity. Mirrors the
     scale of Matterport scans (edges typically 1.5-4 m).
     """
-    rng = rng or np.random.default_rng(abs(hash(scan)) % (2**32))
+    if rng is None:
+        # crc32, not hash(): str hashing is salted per process
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(scan.encode()))
     pos = np.empty((num_nodes, 3))
     pos[:, 0] = rng.uniform(0, extent, num_nodes)
     pos[:, 1] = rng.uniform(0, extent, num_nodes)

@@ -146,13 +146,28 @@ def reduce_dict_mean(scalars: Dict[str, float]) -> Dict[str, float]:
 
 
 def host_allgather(obj: Any) -> list:
-    """Gather a python object from all hosts (single-host: [obj]).
+    """Gather an arbitrary picklable python object from every process
+    (single-process: ``[obj]``).
 
-    Replaces the reference's pickled ByteTensor all_gather
-    (distributed.py:90-130) for merging per-rank eval predictions.
+    The TPU twin of the reference's pickle -> padded ByteTensor ->
+    ``dist.all_gather`` -> unpickle dance (distributed.py:90-130), which
+    exists for exactly the same reason: eval predictions are rich
+    python objects (instr_ids, trajectories of viewpoint strings), not
+    tensors. ``process_allgather`` alone cannot carry them — it maps
+    over pytree leaves and requires arrays — so we serialize first and
+    gather fixed-width byte rows.
     """
     if jax.process_count() == 1:
         return [obj]
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj, tiled=False))
+    blob = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([blob.size], np.int64), tiled=False).reshape(-1)
+    padded = np.zeros((int(sizes.max()),), np.uint8)
+    padded[: blob.size] = blob
+    rows = multihost_utils.process_allgather(padded, tiled=False)
+    return [pickle.loads(rows[i, : int(sizes[i])].tobytes())
+            for i in range(jax.process_count())]

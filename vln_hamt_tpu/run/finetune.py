@@ -201,6 +201,7 @@ def train(
     eval_first: bool = False,
     resume_file: Optional[str] = None,
     no_cand_backtrack: bool = False,
+    merged_sample: bool = True,
 ) -> Dict[str, float]:
     """The main train/validate loop (main.py:86-222)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -213,6 +214,11 @@ def train(
     if isinstance(train_env, tuple):
         train_env, aug_env = train_env
     agent = _AGENT_CLS[dataset](cfg, train_env, seed=cfg.train.seed)
+    # production default: merged single-scan 'sample' update (IL lanes
+    # inside the rollout scan — fastest measured path, BASELINE.md);
+    # --no_merged_sample falls back to the fused two-scan update, which
+    # is bit-comparable to the host rollout (PARITY.md #18)
+    agent.merged_sample_update = merged_sample
     if cfg.train.feat_table:
         # device-resident feature table: episodes/policy steps ship node
         # indices, the device gathers features (REVERIE additionally
@@ -372,6 +378,10 @@ def parse_args(argv=None):
     p.add_argument("--no_feat_table", action="store_true",
                    help="ship per-episode features instead of the "
                         "device-resident feature table")
+    p.add_argument("--no_merged_sample", action="store_true",
+                   help="'sample' feedback as the fused two-scan update "
+                        "(bit-comparable to the host rollout) instead of "
+                        "the merged single-scan one (PARITY.md #18)")
     p.add_argument("--data_shards", type=int, default=None,
                    help="data-parallel mesh axis (batch sharded over "
                         "devices; replaces the reference's DDP ranks)")
@@ -441,7 +451,8 @@ def main(argv=None):
     best = train(cfg, train_env, train_val_envs, args.output_dir,
                  iters=args.iters, log_every=args.log_every,
                  eval_first=args.eval_first, resume_file=args.resume_file,
-                 no_cand_backtrack=args.no_cand_backtrack)
+                 no_cand_backtrack=args.no_cand_backtrack,
+                 merged_sample=not args.no_merged_sample)
     print(json.dumps({"best": best}, default=float))
 
 
