@@ -260,3 +260,38 @@ def test_reverie_feature_table_matches_plain(vworld):
         return lock
 
     assert run_eval(True) == run_eval(False)
+
+
+@pytest.mark.slow
+def test_variant_merged_sample_updates(vworld):
+    """The merged single-scan 'sample' update (IL lanes inside the
+    rollout scan, PARITY.md #18) must run to finite losses for every
+    task that supports a device rollout — REVERIE's lanes additionally
+    carry the dual act+object CE (ReverieAgent._merged_il_loss)."""
+    # r2r_back / cvdn ride the base merged path
+    items_back = make_synthetic_r2rback_items(vworld)
+    cfg = small_cfg(vworld, max_action_len=10)
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates, image_feat_size=32)
+    back = R2RBackAgent(cfg, R2RBackNavEnv(
+        vworld.graphs, vworld.feat_db, items_back, spec, batch_size=4,
+        max_instr_len=32, max_action_len=10, seed=0), seed=0)
+    cvdn = CVDNAgent(cfg, CVDNNavEnv(
+        vworld.graphs, vworld.feat_db, make_synthetic_cvdn_items(vworld),
+        spec, batch_size=4, max_instr_len=32, max_action_len=10, seed=0),
+        seed=0)
+    obj_db, obj2vp = add_synthetic_objects(vworld, obj_feat_size=24, seed=1)
+    # no_lang_ca like the real REVERIE preset: text states are
+    # (X+1, B, L, D) — the merged bootstrap must slice batch axis 1
+    rcfg = small_cfg(vworld, max_action_len=10,
+                     extra_model={"obj_feat_size": 24, "no_lang_ca": True})
+    rev = ReverieAgent(rcfg, ReverieNavEnv(
+        vworld.graphs, vworld.feat_db, vworld.instr_data, spec, batch_size=4,
+        max_instr_len=32, max_action_len=10, seed=0, obj_db=obj_db,
+        obj2viewpoint=obj2vp, max_objects=4, obj_feat_size=24), seed=0)
+
+    for agent in (back, cvdn, rev):
+        agent.enable_feature_table()
+        agent.merged_sample_update = True
+        out = [agent.train_iteration("sample") for _ in range(2)]
+        assert np.isfinite([o["loss"] for o in out]).all(), type(agent)
+        assert np.isfinite([o["RL_loss"] for o in out]).all(), type(agent)

@@ -412,9 +412,16 @@ class HAMTAgent:
         cparams = optax.apply_updates(state_cparams, cupdates)
         return params, cparams, opt_state, copt_state, loss, aux
 
+    def _merged_il_loss(self, extras, il_ep, weight):
+        """CE on the merged scan's IL-lane logits (≡ `_il_loss` on a
+        replay; REVERIE overrides with its dual act+object CE)."""
+        teacher = jnp.moveaxis(il_ep["teacher"], 0, 1)  # (T, B_il)
+        b_il = il_ep["actions"].shape[0]
+        return il_loss(extras["il_logits"], teacher, IGNORE_ID) * weight / b_il
+
     def _merged_sample_update_fn(self, state_params, state_cparams, opt_state,
                                  copt_state, il_ep, il_weight, rins, rng,
-                                 feat_table, nav):
+                                 feat_table, nav, obj_tables=None):
         """The merged 'sample' iteration: ONE T-step scan over
         B_rl + B_il lanes (``build_device_rollout`` with ``il=`` lanes)
         computes the sampling rollout AND the teacher-forced IL replay
@@ -440,12 +447,9 @@ class HAMTAgent:
             ep, extras = rollout_raw(
                 params, cparams, txt_ids, txt_mask, rng,
                 feat_table, nav, rins["start_node"], rins["start_view"],
-                rins["offs"], rins["task_inputs"], deterministic=False,
-                compute_bootstrap=True, il=il)
-            teacher = jnp.moveaxis(il_ep["teacher"], 0, 1)  # (T, B_il)
-            b_il = il_ep["actions"].shape[0]
-            l1 = (il_loss(extras["il_logits"], teacher, IGNORE_ID)
-                  * il_weight / b_il)
+                rins["offs"], rins["task_inputs"], obj_tables=obj_tables,
+                deterministic=False, compute_bootstrap=True, il=il)
+            l1 = self._merged_il_loss(extras, il_ep, il_weight)
             actions = jnp.moveaxis(ep["actions"], 0, 1)  # (T, B)
             last_value = jnp.where(extras["bootstrap_mask"],
                                    extras["last_value"], 0.0)

@@ -305,6 +305,18 @@ class ReverieAgent(HAMTAgent):
         return self._ref_il_loss(params, cparams, il_ep, il_rng, weight,
                                  feat_table, obj_tables)
 
+    def _merged_il_loss(self, extras, il_ep, weight):
+        """Dual CE (action + grounded object, reverie/agent.py:271-275)
+        on the merged scan's IL lanes — the ref policy core computes
+        both logit sets for every lane, so the object head's IL targets
+        come free."""
+        teacher = jnp.moveaxis(il_ep["teacher"], 0, 1)
+        ref_teacher = jnp.moveaxis(il_ep["ref_teacher"], 0, 1)
+        b_il = il_ep["actions"].shape[0]
+        loss_act = il_loss(extras["il_logits"], teacher, IGNORE_ID)
+        loss_ref = il_loss(extras["il_obj_logits"], ref_teacher, IGNORE_ID)
+        return (loss_act + loss_ref) * weight / b_il
+
     # ------------------------------------------------------------ losses
     def _ref_il_loss(self, params, cparams, ep, rng, weight,
                      feat_table=None, obj_tables=None):
@@ -602,7 +614,21 @@ class ReverieAgent(HAMTAgent):
             use_device = (self.device_rollout_rewards
                           and self._nav_tables is not None
                           and self.env.feat_offsets is not None)
-            if use_device and self.fused_sample_update:
+            if use_device and self.merged_sample_update:
+                # one scan: dual-CE IL lanes ride INSIDE the
+                # object-grounded rollout scan (PARITY.md #18)
+                self._ensure_device_rollout_fn()
+                ins, tkeys = self._device_rollout_args()
+                rins = {k: ins[k] for k in ("txt_ids", "txt_mask",
+                                            "start_node", "start_view",
+                                            "offs")}
+                rins["task_inputs"] = {k: ins[k] for k in tkeys}
+                (params, cparams, opt_state, copt_state, loss,
+                 aux) = self._merged_sample_update(
+                    st.params, st.cparams, st.opt_state, st.copt_state,
+                    il_ep, tcfg.ml_weight, rins, rl_rng,
+                    self._feat_table, self._nav_tables, self._obj_tables)
+            elif use_device and self.fused_sample_update:
                 # one program: dual-CE IL + object-grounded rollout WITH
                 # grads + A2C + optimizer (no replay forward)
                 self._ensure_device_rollout_fn()

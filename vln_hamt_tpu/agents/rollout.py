@@ -564,10 +564,6 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
         b_il = 0 if il is None else il["actions"].shape[0]
         bt = b + b_il
         assert txt_ids.shape[0] == bt, (txt_ids.shape, b, b_il)
-        if il is not None and task == "reverie":
-            raise NotImplementedError(
-                "merged IL lanes need the dual-CE object targets; "
-                "REVERIE uses the fused two-scan update")
         stop = nav["nbr_global"].shape[1]  # slot layout: [C cands | STOP | pano]
         apply = partial(model.apply, {"params": params})
 
@@ -712,17 +708,19 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                 mode = "mixed"
             cg, valid, cand_point, cand_ang = cand_tables(node_all, view_all)
             pano = feat_table[node_all]
+            il_obj_logits = None
             if task == "reverie":
                 om = obj_tables["mask"][node_all]
                 ov = obj_tables["view"][node_all]
                 obj_angs = jnp.where(om[..., None],
                                      ang_tab[view_all[:, None], ov], 0.0)
-                action, logits, _, value, hist_cache, hist_len = core(
+                action, logits, obj_logits, value, hist_cache, hist_len = core(
                     params, cparams, txt_embeds, txt_mask, hist_cache,
                     hist_len, x["t"], pano, view_all, cand_point, cand_ang,
                     obj_tables["fts"][node_all], obj_angs,
                     obj_tables["pos"][node_all], om,
                     live_all, forbid, given, x["key"], mode, deterministic)
+                il_obj_logits = obj_logits[b:]
             else:
                 action, logits, value, hist_cache, hist_len = core(
                     params, cparams, txt_embeds, txt_mask, hist_cache,
@@ -755,6 +753,8 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                   node, view, cand_point, cand_ang)
             if il is not None:
                 ys = ys + (il_logits,)
+                if il_obj_logits is not None:
+                    ys = ys + (il_obj_logits,)
             return carry, ys
 
         xs = {
@@ -802,6 +802,8 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
         }
         if il is not None:
             extras["il_logits"] = ys[9]                 # (T, B_il, N)
+            if task == "reverie":
+                extras["il_obj_logits"] = ys[10]        # (T, B_il, O)
 
         if compute_bootstrap:
             # final-obs bootstrap value (episode_forward's final branch;
@@ -810,9 +812,13 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                 jax.random.fold_in(rng, FINAL_KEY_SALT))
             fob = expand_obs(feat_table[node], view, final_cp, final_ca)
             h_max = hist_cache.shape[1]
-            # RL lanes only (merged IL lanes need no bootstrap)
+            # RL lanes only (merged IL lanes need no bootstrap); under
+            # no_lang_ca the text states are (X+1, B, L, D) — batch on
+            # axis 1
             hist_cache_f, hist_len_f = carry[3][:b], carry[4][:b]
-            txt_embeds, txt_mask = txt_embeds[:b], txt_mask[:b]
+            txt_embeds = (txt_embeds[:, :b] if txt_embeds.ndim == 4
+                          else txt_embeds[:b])
+            txt_mask = txt_mask[:b]
             if task == "reverie":
                 fom = obj_tables["mask"][node]
                 fov = obj_tables["view"][node]
