@@ -306,6 +306,30 @@ def test_packed_eval_matches_lockstep(setup):
     assert packed1 == packed
 
 
+def test_device_eval_matches_lockstep(tiny_world):
+    """Fully device-resident greedy eval (one scan per batch,
+    eval_split_device) must reproduce the lock-step evaluator's poses
+    exactly — viewpoints AND headings/elevations (decoded on host from
+    the discretized view index)."""
+    cfg = tiny_cfg(tiny_world)
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates,
+                   image_feat_size=cfg.env.image_feat_size)
+    env = R2RNavEnv(
+        tiny_world.graphs, tiny_world.feat_db, tiny_world.instr_data, spec,
+        batch_size=cfg.train.batch_size, max_instr_len=cfg.env.max_instr_len,
+        max_action_len=cfg.env.max_action_len, seed=0)
+    agent = HAMTAgent(cfg, env, seed=0)
+    agent.enable_feature_table()
+    lock = {p["instr_id"]: p["trajectory"] for p in agent.eval_split(env)}
+    dev = {p["instr_id"]: p["trajectory"]
+           for p in agent.eval_split_device(env)}
+    assert set(lock) == set(dev)
+    for k in lock:
+        assert [x[0] for x in lock[k]] == [x[0] for x in dev[k]], k
+        for (av, ah, ae), (bv, bh, be) in zip(lock[k], dev[k]):
+            assert av == bv and abs(ah - bh) < 1e-6 and abs(ae - be) < 1e-6
+
+
 def test_packed_eval_tiny_split(setup):
     """Splits smaller than a batch: slots are filled by cycling the
     items (_PackedEvalGroup.__init__) and the duplicate episodes

@@ -295,3 +295,43 @@ def test_variant_merged_sample_updates(vworld):
         out = [agent.train_iteration("sample") for _ in range(2)]
         assert np.isfinite([o["loss"] for o in out]).all(), type(agent)
         assert np.isfinite([o["RL_loss"] for o in out]).all(), type(agent)
+
+
+@pytest.mark.slow
+def test_variant_device_eval_matches_lockstep(vworld):
+    """Device-scan greedy eval for the task variants: trajectories,
+    R2R-Back midstops (eval two-phase ending, no RL force-end), and
+    REVERIE predObjId must match the lock-step evaluator."""
+    cfg = small_cfg(vworld, max_action_len=10)
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates, image_feat_size=32)
+
+    back = R2RBackAgent(cfg, R2RBackNavEnv(
+        vworld.graphs, vworld.feat_db, make_synthetic_r2rback_items(vworld),
+        spec, batch_size=4, max_instr_len=32, max_action_len=10, seed=0),
+        seed=0)
+    cvdn = CVDNAgent(cfg, CVDNNavEnv(
+        vworld.graphs, vworld.feat_db, make_synthetic_cvdn_items(vworld),
+        spec, batch_size=4, max_instr_len=32, max_action_len=10, seed=0),
+        seed=0)
+    obj_db, obj2vp = add_synthetic_objects(vworld, obj_feat_size=24, seed=1)
+    rcfg = small_cfg(vworld, max_action_len=10,
+                     extra_model={"obj_feat_size": 24, "no_lang_ca": True})
+    rev = ReverieAgent(rcfg, ReverieNavEnv(
+        vworld.graphs, vworld.feat_db, vworld.instr_data, spec, batch_size=4,
+        max_instr_len=32, max_action_len=10, seed=0, obj_db=obj_db,
+        obj2viewpoint=obj2vp, max_objects=4, obj_feat_size=24), seed=0)
+
+    for agent in (back, cvdn, rev):
+        agent.enable_feature_table()
+        env = agent.env
+        lock = {p["instr_id"]: p for p in agent.eval_split(env)}
+        dev = {p["instr_id"]: p for p in agent.eval_split_device(env)}
+        assert set(lock) == set(dev), type(agent)
+        for k in lock:
+            lt = [x[0] for x in lock[k]["trajectory"]]
+            dt = [x[0] for x in dev[k]["trajectory"]]
+            assert lt == dt, (type(agent).__name__, k, lt, dt)
+            assert (lock[k].get("midstop")
+                    == dev[k].get("midstop")), (type(agent).__name__, k)
+            assert (lock[k].get("predObjId")
+                    == dev[k].get("predObjId")), (type(agent).__name__, k)

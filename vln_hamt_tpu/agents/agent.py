@@ -638,15 +638,19 @@ class HAMTAgent:
                 task=self.device_rollout_task)
         return self._device_rollout_fn
 
-    def _device_rollout_args(self):
+    def _device_rollout_args(self, include_rewards: bool = True):
         """Host prep for a device rollout: reset the env, ship start
-        poses + the task's cost slabs, shard over 'data'."""
+        poses + the task's cost slabs, shard over 'data'.
+
+        ``include_rewards=False`` skips the cost slabs (greedy device
+        eval: no reward shaping, works on GT-less test splits)."""
         env = self.env
         obs = env.reset()
         b = obs.batch_size
         offs = np.array([env.feat_offsets[it["scan"]] for it in env.batch],
                         np.int32)
-        task_inputs = self._device_rollout_inputs(env, obs)
+        task_inputs = (self._device_rollout_inputs(env, obs)
+                       if include_rewards else {})
         txt_ids, txt_mask = env.txt_batch()
         # batch-leading inputs shard over 'data'; tables are replicated
         ins = self._shard_data(
@@ -948,6 +952,106 @@ class HAMTAgent:
                     pred[extra] = v[extra]
             out.append(pred)
         return out
+
+    def eval_split_fast(self, env: Optional[R2RNavEnv] = None,
+                        no_cand_backtrack: bool = False) -> List[dict]:
+        """The fastest applicable greedy evaluator: the device-scan
+        eval when the feature/nav tables are resident (and
+        no_cand_backtrack is off — it needs host visited-set masking),
+        else the continuation-packed evaluator, else lock-step. All
+        three produce identical predictions (tested)."""
+        env = env or self.env
+        if (not no_cand_backtrack and self._nav_tables is not None
+                and getattr(env, "feat_offsets", None) is not None):
+            return self.eval_split_device(env)
+        if self.supports_packed_eval:
+            return self.eval_split_packed(env, no_cand_backtrack)
+        return self.eval_split(env, no_cand_backtrack)
+
+    def eval_split_device(self, env: Optional[R2RNavEnv] = None) -> List[dict]:
+        """Greedy full-split evaluation as fully DEVICE-RESIDENT scans.
+
+        Where :meth:`eval_split` / :meth:`eval_split_packed` make one
+        host↔device round trip per policy step, this runs each batch's
+        whole greedy episode as the same one-program ``lax.scan`` used
+        by the RL rollout (``build_device_rollout`` with
+        ``policy='argmax'``, ``compute_rewards=False``): transitions are
+        nav-table gathers, and the host only decodes the recorded
+        node/view sequences into trajectories (poses are pure functions
+        of the discretized view index, env/sim.py:view_heading).
+        Requires the feature/nav tables; ``no_cand_backtrack`` is not
+        supported (use the packed evaluator). Batch iteration and
+        keep-first-prediction semantics match :meth:`eval_split`
+        (loop until an instr_id repeats, agent_base.py:25-47).
+        """
+        env = env or self.env
+        assert (self._nav_tables is not None
+                and env.feat_offsets is not None), (
+            "device eval needs enable_feature_table()")
+        old_env, self.env = self.env, env
+        fn = self._ensure_device_rollout_fn()
+        env.reset_epoch(shuffle=False)
+        st = self.state
+        results: Dict[str, dict] = {}
+        looped = False
+        while not looped:
+            ins, _ = self._device_rollout_args(include_rewards=False)
+            ep, extras = fn(
+                st.params, st.cparams, ins["txt_ids"], ins["txt_mask"],
+                jax.random.PRNGKey(0), self._feat_table, self._nav_tables,
+                ins["start_node"], ins["start_view"], ins["offs"], {},
+                obj_tables=getattr(self, "_obj_tables", None),
+                deterministic=True, policy="argmax", compute_rewards=False)
+            for tr in self._decode_device_trajectories(env, ep, extras):
+                if tr["instr_id"] in results:
+                    looped = True
+                else:
+                    results[tr["instr_id"]] = tr
+        self.env = old_env
+        return list(results.values())
+
+    def _decode_device_trajectories(self, env, ep, extras) -> List[dict]:
+        """Recorded scan episode -> eval predictions (host-side)."""
+        from ..data.angle import view_elevation, view_heading
+
+        node = self._fetch(ep["node_idx"])
+        view = self._fetch(ep["view_index"])
+        actions = self._fetch(ep["actions"])
+        mask = self._fetch(ep["step_mask"])
+        fnode = self._fetch(ep["final_node_idx"])
+        fview = self._fetch(ep["final_view_index"])
+        b, t_max = node.shape
+        c = env.spec.max_candidates  # action < c is a nav move
+        out = []
+        for i in range(b):
+            item = env.batch[i]
+            off = env.feat_offsets[item["scan"]]
+            g = env.graphs[item["scan"]]
+
+            def pose(n_, v_):
+                return (g.node_ids[int(n_) - off],
+                        float(view_heading(int(v_))),
+                        float(view_elevation(int(v_))))
+
+            path = [pose(node[i, 0], view[i, 0])]
+            for t in range(t_max):
+                if not mask[i, t]:
+                    break
+                if actions[i, t] < c:  # nav move: pose after the step
+                    nn = node[i, t + 1] if t + 1 < t_max else fnode[i]
+                    nv = view[i, t + 1] if t + 1 < t_max else fview[i]
+                    path.append(pose(nn, nv))
+            pred = {"instr_id": item["instr_id"], "trajectory": path}
+            self._decode_device_extras(pred, env, i, node, view, actions,
+                                       mask, extras)
+            out.append(pred)
+        return out
+
+    def _decode_device_extras(self, pred, env, i, node, view, actions,
+                              mask, extras) -> None:
+        """Per-task prediction extras (midstop, predObjId) — variant
+        agents override."""
+        return None
 
     def eval_split_packed(self, env: Optional[R2RNavEnv] = None,
                           no_cand_backtrack: bool = False,

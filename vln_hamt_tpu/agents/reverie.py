@@ -300,6 +300,32 @@ class ReverieAgent(HAMTAgent):
     def _packed_slot_result(self, st, pred):
         pred["predObjId"] = st.get("predObjId", str(None))
 
+    def _decode_device_extras(self, pred, env, i, node, view, actions,
+                              mask, extras) -> None:
+        """Device-scan eval: grounded object at the (forced) stop step
+        (host twin above: a_t >= num_ob_tokens or t == t_max-1). The
+        scan records per-step argmax over the masked object logits;
+        the host maps it through the node's obj-id list."""
+        op = extras.get("_obj_pred_np")
+        if op is None:
+            op = extras["_obj_pred_np"] = self._fetch(extras["obj_pred"])
+        n_ob = self.num_ob_tokens
+        t_max = actions.shape[1]
+        stop_t = t_max - 1
+        for t in range(t_max):
+            if mask[i, t] and actions[i, t] >= n_ob:
+                stop_t = t
+                break
+        item = env.batch[i]
+        g = env.graphs[item["scan"]]
+        off = env.feat_offsets[item["scan"]]
+        entry = env.obj_db.get(
+            (item["scan"], g.node_ids[int(node[i, stop_t]) - off]))
+        ids = (list(entry["obj_ids"][: env.max_objects])
+               if entry is not None else [])
+        idx = int(op[stop_t, i])
+        pred["predObjId"] = str(ids[idx]) if idx < len(ids) else str(None)
+
     def _fused_il_loss(self, params, cparams, il_ep, il_rng, weight,
                        feat_table, obj_tables):
         return self._ref_il_loss(params, cparams, il_ep, il_rng, weight,

@@ -549,7 +549,8 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                     task_inputs, obj_tables=None,
                     deterministic: bool = False,
                     compute_bootstrap: bool = False,
-                    il=None):
+                    il=None, policy: str = "sample",
+                    compute_rewards: bool = True):
         # ``il``: optional teacher-forced lanes merged INTO the same
         # scan (the merged 'sample' update): a dict of batch-major
         # (B_il, T) arrays node_idx / view_index / actions / step_mask
@@ -578,7 +579,24 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
 
         bi = jnp.arange(b)
 
-        if use_ndtw:
+        if not compute_rewards:
+            # greedy-eval mode (policy='argmax'): no reward shaping, no
+            # cost slabs required (GT-less test splits) — only the
+            # episode-ending rules. r2r_back keeps the EVAL two-phase
+            # rule (variants.py:_update_ended with train_rl=False:
+            # second stop ends, no failed-midstop force-end).
+            rstate = ({"first_ended": jnp.zeros((b,), bool)}
+                      if task == "r2r_back" else {})
+
+            def reward_and_end(st, ended, live, stopped, extend, new_node):
+                if task == "r2r_back":
+                    new_ended = ended | (st["first_ended"] & stopped)
+                    st = {"first_ended": st["first_ended"] | stopped}
+                else:
+                    new_ended = ended | stopped
+                return jnp.zeros((b,), jnp.float32), st, new_ended
+
+        elif use_ndtw:
             ref_cost = task_inputs["ref_cost"]
             rl = task_inputs["ref_len"].astype(jnp.int32)
 
@@ -589,19 +607,20 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                 return jnp.exp(-dp[bi, rl]
                                / (error_margin * rl.astype(jnp.float32)))
 
-        if task == "r2r":
-            def goal_dist(node):  # dist to the last reference node
-                return ref_cost_at(node)[bi, rl - 1]
-        else:
-            goal_cost = task_inputs["goal_cost"]
+        if compute_rewards:
+            if task == "r2r":
+                def goal_dist(node):  # dist to the last reference node
+                    return ref_cost_at(node)[bi, rl - 1]
+            else:
+                goal_cost = task_inputs["goal_cost"]
 
-            def goal_dist(node):
-                return goal_cost[bi, node - offs]
-        if task == "r2r_back":
-            mid_cost = task_inputs["mid_cost"]
+                def goal_dist(node):
+                    return goal_cost[bi, node - offs]
+            if task == "r2r_back":
+                mid_cost = task_inputs["mid_cost"]
 
-            def mid_dist(node):
-                return mid_cost[bi, node - offs]
+                def mid_dist(node):
+                    return mid_cost[bi, node - offs]
 
         def cand_tables(node, view):
             cg = nav["nbr_global"][node]  # (B, C)
@@ -614,76 +633,80 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
             ang = jnp.where(valid[:, :, None], ang, 0.0)
             return cg, valid, cp, ang
 
-        # task-specific reward state carried through the scan
-        rstate = {}
-        if use_ndtw:
-            # initial nDTW DP row: closed column 0, then the start node
-            dp0 = jnp.full((b, ref_cost.shape[2] + 1),
-                           jnp.inf).at[:, 0].set(0.0)
-            dp0 = _dp_extend(dp0, ref_cost_at(start_node))
-            rstate["dp"] = dp0
-            rstate["last_ndtw"] = ndtw_val(dp0)
-        if task == "r2r_back":
-            # phase-1 goal is the midstop (agent_r2rback.py:234-237)
-            rstate["last_dist"] = mid_dist(start_node)
-            rstate["first_ended"] = jnp.zeros((b,), bool)
-            rstate["force_ended"] = jnp.zeros((b,), bool)
-        else:
-            rstate["last_dist"] = goal_dist(start_node)
-
-        def reward_and_end(st, ended, live, stopped, extend, new_node):
-            # ``stopped``: the task's stop action was taken; ``extend``:
-            # the nDTW prediction path grows this step (host parity:
-            # env_actions >= 0 — live and not STOP for r2r/cvdn/
-            # r2r_back, candidate moves only for reverie)
-            st_new = dict(st)
+        if compute_rewards:
+            # task-specific reward state carried through the scan
+            rstate = {}
             if use_ndtw:
-                dp_new = _dp_extend(st["dp"], ref_cost_at(new_node))
-                dp = jnp.where(extend[:, None], dp_new, st["dp"])
-                cur_ndtw = ndtw_val(dp)
-                nr = cur_ndtw - st["last_ndtw"]
-                st_new.update(dp=dp, last_ndtw=cur_ndtw)
+                # initial nDTW DP row: closed column 0, then the start
+                # node
+                dp0 = jnp.full((b, ref_cost.shape[2] + 1),
+                               jnp.inf).at[:, 0].set(0.0)
+                dp0 = _dp_extend(dp0, ref_cost_at(start_node))
+                rstate["dp"] = dp0
+                rstate["last_ndtw"] = ndtw_val(dp0)
             if task == "r2r_back":
-                # phase dist uses PRE-update first_ended (rewards are
-                # computed before _update_ended on the host)
-                dist = jnp.where(st["first_ended"], goal_dist(new_node),
-                                 mid_dist(new_node))
+                # phase-1 goal is the midstop (agent_r2rback.py:234-237)
+                rstate["last_dist"] = mid_dist(start_node)
+                rstate["first_ended"] = jnp.zeros((b,), bool)
+                rstate["force_ended"] = jnp.zeros((b,), bool)
             else:
-                dist = goal_dist(new_node)
-            delta = -(dist - st["last_dist"])
+                rstate["last_dist"] = goal_dist(start_node)
 
-            if task == "cvdn":
-                # cvdn/agent.py:173-203: exact-goal stop bonus, signed
-                # unit move reward, no miss penalty, no nDTW
-                stop_r = jnp.where(dist == 0.0, 2.0, -2.0)
-                move_r = jnp.where(delta > 0.0, 1.0,
-                                   jnp.where(delta < 0.0, -1.0, 0.0))
-            else:
-                stop_r = jnp.where(dist < error_margin,
-                                   2.0 + cur_ndtw * 2.0, -2.0)
-                move_r = jnp.where(delta > 0.0, 1.0 + nr, -1.0 + nr)
-                miss = (st["last_dist"] <= 1.0) & (dist - st["last_dist"] > 0.0)
-                move_r = move_r - jnp.where(miss,
-                                            (1.0 - st["last_dist"]) * 2.0, 0.0)
-            reward = jnp.where(stopped, stop_r, move_r)
-            reward = jnp.where(live, reward, 0.0).astype(jnp.float32)
+            def reward_and_end(st, ended, live, stopped, extend, new_node):
+                # ``stopped``: the task's stop action was taken;
+                # ``extend``: the nDTW prediction path grows this step
+                # (host parity: env_actions >= 0 — live and not STOP for
+                # r2r/cvdn/r2r_back, candidate moves only for reverie)
+                st_new = dict(st)
+                if use_ndtw:
+                    dp_new = _dp_extend(st["dp"], ref_cost_at(new_node))
+                    dp = jnp.where(extend[:, None], dp_new, st["dp"])
+                    cur_ndtw = ndtw_val(dp)
+                    nr = cur_ndtw - st["last_ndtw"]
+                    st_new.update(dp=dp, last_ndtw=cur_ndtw)
+                if task == "r2r_back":
+                    # phase dist uses PRE-update first_ended (rewards are
+                    # computed before _update_ended on the host)
+                    dist = jnp.where(st["first_ended"], goal_dist(new_node),
+                                     mid_dist(new_node))
+                else:
+                    dist = goal_dist(new_node)
+                delta = -(dist - st["last_dist"])
 
-            if task == "r2r_back":
-                # failing the (mid)stop force-ends the episode in RL
-                # (agent_r2rback.py:254-256); after the midstop the
-                # tracked distance switches to the final goal (:270-273)
-                force = st["force_ended"] | (live & stopped
-                                             & (dist >= error_margin))
-                st_new["last_dist"] = jnp.where(
-                    live & stopped & ~st["first_ended"],
-                    goal_dist(new_node), dist)
-                st_new["force_ended"] = force
-                st_new["first_ended"] = st["first_ended"] | stopped
-                new_ended = ended | (st["first_ended"] & stopped) | force
-            else:
-                st_new["last_dist"] = dist
-                new_ended = ended | stopped
-            return reward, st_new, new_ended
+                if task == "cvdn":
+                    # cvdn/agent.py:173-203: exact-goal stop bonus,
+                    # signed unit move reward, no miss penalty, no nDTW
+                    stop_r = jnp.where(dist == 0.0, 2.0, -2.0)
+                    move_r = jnp.where(delta > 0.0, 1.0,
+                                       jnp.where(delta < 0.0, -1.0, 0.0))
+                else:
+                    stop_r = jnp.where(dist < error_margin,
+                                       2.0 + cur_ndtw * 2.0, -2.0)
+                    move_r = jnp.where(delta > 0.0, 1.0 + nr, -1.0 + nr)
+                    miss = ((st["last_dist"] <= 1.0)
+                            & (dist - st["last_dist"] > 0.0))
+                    move_r = move_r - jnp.where(
+                        miss, (1.0 - st["last_dist"]) * 2.0, 0.0)
+                reward = jnp.where(stopped, stop_r, move_r)
+                reward = jnp.where(live, reward, 0.0).astype(jnp.float32)
+
+                if task == "r2r_back":
+                    # failing the (mid)stop force-ends the episode in RL
+                    # (agent_r2rback.py:254-256); after the midstop the
+                    # tracked distance switches to the final goal
+                    # (:270-273)
+                    force = st["force_ended"] | (live & stopped
+                                                 & (dist >= error_margin))
+                    st_new["last_dist"] = jnp.where(
+                        live & stopped & ~st["first_ended"],
+                        goal_dist(new_node), dist)
+                    st_new["force_ended"] = force
+                    st_new["first_ended"] = st["first_ended"] | stopped
+                    new_ended = ended | (st["first_ended"] & stopped) | force
+                else:
+                    st_new["last_dist"] = dist
+                    new_ended = ended | stopped
+                return reward, st_new, new_ended
 
         n_ob = stop + 1 + 36
         # reverie appends the obj-stop slot to the action space
@@ -696,7 +719,7 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
             live = ~ended
             if il is None:
                 node_all, view_all, live_all = node, view, live
-                given, mode = zeros_i, "sample"
+                given, mode = zeros_i, policy
             else:
                 # IL lanes take their pose from the recorded episode
                 # (no transitions) and force the recorded action
@@ -755,6 +778,10 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
                 ys = ys + (il_logits,)
                 if il_obj_logits is not None:
                     ys = ys + (il_obj_logits,)
+            elif task == "reverie" and policy == "argmax":
+                # greedy eval records the grounded-object prediction per
+                # step; the host reads it at each lane's stop step
+                ys = ys + (jnp.argmax(obj_logits, axis=-1)[:b],)
             return carry, ys
 
         xs = {
@@ -804,6 +831,8 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
             extras["il_logits"] = ys[9]                 # (T, B_il, N)
             if task == "reverie":
                 extras["il_obj_logits"] = ys[10]        # (T, B_il, O)
+        elif task == "reverie" and policy == "argmax":
+            extras["obj_pred"] = ys[9]                  # (T, B) int32
 
         if compute_bootstrap:
             # final-obs bootstrap value (episode_forward's final branch;
@@ -848,6 +877,8 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
         return ep, extras
 
     device_rollout = jax.jit(
-        rollout_raw, static_argnames=("deterministic", "compute_bootstrap"))
+        rollout_raw,
+        static_argnames=("deterministic", "compute_bootstrap", "policy",
+                         "compute_rewards"))
     device_rollout.raw = rollout_raw
     return device_rollout

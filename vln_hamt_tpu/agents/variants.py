@@ -112,6 +112,21 @@ class R2RBackAgent(HAMTAgent):
     def _packed_slot_result(self, st, pred: dict) -> None:
         pred["midstop"] = st["midstop"]
 
+    def _decode_device_extras(self, pred, env, i, node, view, actions,
+                              mask, extras) -> None:
+        """Device-scan eval: the FIRST live STOP is the midstop
+        (agent_r2rback.py:194-198); None when the episode never
+        stopped (matches the packed evaluator's slot result)."""
+        stop = env.spec.max_candidates
+        pred["midstop"] = None
+        for t in range(actions.shape[1]):
+            if mask[i, t] and actions[i, t] == stop:
+                item = env.batch[i]
+                g = env.graphs[item["scan"]]
+                off = env.feat_offsets[item["scan"]]
+                pred["midstop"] = g.node_ids[int(node[i, t]) - off]
+                return
+
     def _update_ended(self, ended, a_t, ep_state, train_rl: bool) -> np.ndarray:
         """agent_r2rback.py:275-277: second stop ends; first stop only
         flips first_ended (plus RL's failed-midstop forced end)."""

@@ -244,7 +244,7 @@ def train(
 
     if eval_first:  # sanity eval before training (main.py:112-128)
         for name, env in val_envs.items():
-            preds = agent.eval_split(env)
+            preds = agent.eval_split_fast(env)
             metrics, _ = env.eval_metrics(
                 [p for shard in host_allgather(preds) for p in shard])
             write_record(record_file, f"eval_first {name}: {metrics}")
@@ -273,10 +273,7 @@ def train(
 
         for name, env in val_envs.items():
             with logger.timer(f"eval_{name}"):
-                if agent.supports_packed_eval:
-                    preds = agent.eval_split_packed(env, no_cand_backtrack)
-                else:
-                    preds = agent.eval_split(env, no_cand_backtrack)
+                preds = agent.eval_split_fast(env, no_cand_backtrack)
                 merged = [p for shard in host_allgather(preds) for p in shard]
                 metrics, _ = env.eval_metrics(merged)
             logger.log(step, metrics, prefix=f"{name}/")
@@ -314,10 +311,7 @@ def valid(cfg: HAMTConfig, ckpt: Optional[str], val_envs: Dict[str, object],
     results = {}
     for name, env in val_envs.items():
         agent.env = env
-        if agent.supports_packed_eval:
-            preds = agent.eval_split_packed(env, no_cand_backtrack)
-        else:
-            preds = agent.eval_split(env, no_cand_backtrack)
+        preds = agent.eval_split_fast(env, no_cand_backtrack)
         merged = [p for shard in host_allgather(preds) for p in shard]
         if "test" not in name:  # test splits have no GT (main.py:258-262)
             metrics, _ = env.eval_metrics(merged)
