@@ -165,3 +165,68 @@ def test_scheduler_deterministic():
     assert seq1 == seq2
     # ratios roughly respected
     assert seq1.count("a") > seq1.count("b")
+
+
+@pytest.mark.slow
+def test_index_mode_matches_feature_mode(pretrain_setup):
+    """Index-mode transport (resident feature table + int32 rows,
+    model.py:expand_index_batch) must reproduce the feature-mode losses
+    for every task: same batcher seed -> same rng stream (the kill /
+    mask draws are order-preserved), fp32 table -> identical values."""
+    world, recs, _, _ = pretrain_setup
+    from vln_hamt_tpu.data.feature_db import build_feature_table
+    from vln_hamt_tpu.pretrain.model import init_pretrain_params
+
+    def mk_ds():
+        return TrajectoryDataset(recs, world.graphs, world.feat_db,
+                                 image_feat_size=32, image_prob_size=16,
+                                 max_txt_len=32, max_hist_len=6)
+
+    table, offsets = build_feature_table(world.graphs, world.feat_db)
+    table = jnp.asarray(table)  # fp32
+
+    model, params = init_pretrain_params(TINY, jax.random.PRNGKey(0),
+                                         max_hist_len=6, instr_len=32)
+    rng = jax.random.PRNGKey(5)
+    for task in ("mlm", "mrc", "itm", "sap", "sar", "sprel"):
+        host_b = PretrainBatcher(mk_ds(), seed=3,
+                                 vocab_mask_range=(1000, 2000))
+        idx_ds = mk_ds()
+        idx_ds.set_feat_offsets(offsets)
+        idx_b = PretrainBatcher(idx_ds, seed=3,
+                                vocab_mask_range=(1000, 2000))
+
+        hb = {k: jnp.asarray(v) for k, v in host_b.batch(task, 4).items()}
+        ib = {k: jnp.asarray(v) for k, v in idx_b.batch(task, 4).items()}
+        assert "hist_node" in ib and "hist_img" not in ib
+        l_host, a_host = model.apply({"params": params}, hb, task,
+                                     deterministic=False,
+                                     rngs={"dropout": rng})
+        l_idx, a_idx = model.apply({"params": params}, ib, task,
+                                   deterministic=False, feat_table=table,
+                                   rngs={"dropout": rng})
+        np.testing.assert_allclose(float(l_idx), float(l_host),
+                                   rtol=1e-5, atol=1e-6, err_msg=task)
+
+
+@pytest.mark.slow
+def test_index_mode_trainer(pretrain_setup):
+    """End-to-end: PretrainTrainer(feat_table=...) trains every task on
+    index-mode batches."""
+    world, recs, _, _ = pretrain_setup
+    from vln_hamt_tpu.data.feature_db import build_feature_table
+
+    ds = TrajectoryDataset(recs, world.graphs, world.feat_db,
+                           image_feat_size=32, image_prob_size=16,
+                           max_txt_len=32, max_hist_len=6)
+    table, offsets = build_feature_table(world.graphs, world.feat_db)
+    ds.set_feat_offsets(offsets)
+    batcher = PretrainBatcher(ds, seed=0, vocab_mask_range=(1000, 2000))
+    trainer = PretrainTrainer(TINY, batcher, batch_size=4, lr=1e-3,
+                              warmup_steps=2, total_steps=40, seed=0,
+                              feat_table=table)
+    for _ in range(8):
+        task, loss, aux = trainer.train_step()
+        assert np.isfinite(loss), task
+    val = trainer.validate(batcher, n_batches=1)
+    assert all(np.isfinite(s["loss"]) for s in val.values())

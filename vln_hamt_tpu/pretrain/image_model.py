@@ -61,9 +61,11 @@ class HAMTImagePretrain(nn.Module):
         return feats.reshape(lead + (feats.shape[-1],))
 
     def __call__(self, batch: Dict[str, jnp.ndarray], task: str,
-                 deterministic: bool = False):
+                 deterministic: bool = False, feat_table=None):
         """Replace image tensors with ViT features, then dispatch to the
-        shared trunk. Expected image keys (uint8):
+        shared trunk. (``feat_table`` accepted for trainer-signature
+        compatibility; the e2e path featurizes raw pixels instead.)
+        Expected image keys (uint8):
         - hist_pano_images (B, T, V, H, W, 3): per-step panoramas
         - ob_images (B, V, H, W, 3): current 36 views (STOP appended)
         Other batch entries pass through (angles, masks, labels).

@@ -311,8 +311,16 @@ class HAMTPretrain(nn.Module):
 
     # ------------------------------------------------------------------
     def __call__(self, batch: Dict[str, jnp.ndarray], task: str,
-                 deterministic: bool = False):
-        """Task dispatch (pretrain_cmt.py:101-140). ``task`` is static."""
+                 deterministic: bool = False, feat_table=None):
+        """Task dispatch (pretrain_cmt.py:101-140). ``task`` is static.
+
+        With ``feat_table`` and an index-mode batch (``hist_node``
+        present), the (H,36,D) feature stacks are gathered/expanded ON
+        DEVICE from the resident table first — the host ships int32
+        rows (see :func:`expand_index_batch`)."""
+        if feat_table is not None and "hist_node" in batch:
+            batch = expand_index_batch(batch, feat_table, self.config,
+                                       hist_enc_pano=True)
         fwd = {
             "mlm": self.forward_mlm,
             "mrc": self.forward_mrc,
@@ -335,6 +343,74 @@ def _masked_log_softmax(logits):
     from ..agents.losses import masked_log_softmax
 
     return masked_log_softmax(logits)
+
+
+def expand_index_batch(batch: Dict[str, jnp.ndarray], feat_table,
+                       cfg: ModelConfig,
+                       hist_enc_pano: bool = True) -> Dict[str, jnp.ndarray]:
+    """Index-mode pretrain batch -> feature-mode batch, on device.
+
+    The pretrain twin of the fine-tune feature-table transport: the
+    host ships int32 table rows (``hist_node (B,H)``, ``hist_view``,
+    ``ob_node (B)``, ``ob_view``) plus the tiny angle/label/mask
+    arrays; this gathers the (B,H,36,Dfull) stacks from the resident
+    ``feat_table`` (N, 36, image_feat+prob) and reproduces the host
+    assembly exactly (``TrajectoryDataset.history_arrays`` /
+    ``ob_pano_arrays`` + the batcher's MRC input-masking and
+    visual/angle kills): padded steps zeroed, MRC-masked step features
+    zeroed (labels = softmax of the prob tail, r2r_data.py:317-329),
+    STOP token appended, kills applied. Cuts per-batch H2D from ~50 MB
+    (bs16) to KBs.
+    """
+    from ..data.angle import all_point_angle_feature
+
+    b = dict(batch)
+    d = cfg.image_feat_size
+    ang_tab = jnp.asarray(
+        all_point_angle_feature(cfg.angle_feat_size), feat_table.dtype)
+
+    hn = b.pop("hist_node")  # (B, H) global table rows
+    hv = b.pop("hist_view")  # (B, H)
+    h = hn.shape[1]
+    live = jnp.arange(h)[None, :] < b["hist_len"][:, None]  # (B, H)
+    rows = feat_table[hn]  # (B, H, 36, Dfull)
+    sel = jnp.take_along_axis(
+        rows, hv[:, :, None, None], axis=2)[:, :, 0]  # (B, H, Dfull)
+    hist_img = jnp.where(live[..., None], sel[..., :d], 0)
+    mrc = b.get("hist_mrc_masks")
+    if mrc is not None:
+        # input-side masking (r2r_tasks.py:138-146) + soft prob labels
+        hist_img = jnp.where(mrc[..., None], 0, hist_img)
+        logits = sel[..., d: d + cfg.image_prob_size].astype(jnp.float32)
+        b["hist_img_probs"] = jnp.where(
+            live[..., None], jax.nn.softmax(logits, axis=-1), 0.0)
+    b["hist_img"] = hist_img
+    if hist_enc_pano:
+        pano = jnp.where(live[..., None, None], rows[..., :d], 0)
+        if mrc is not None:
+            pano = jnp.where(mrc[..., None, None], 0, pano)
+        b["hist_pano_img"] = pano
+        b["hist_pano_ang"] = jnp.where(live[..., None, None],
+                                       ang_tab[hv], 0)
+
+    if "ob_node" in b:
+        on = b.pop("ob_node")  # (B,)
+        ov = b.pop("ob_view")
+        n_b = on.shape[0]
+        views = feat_table[on][..., :d]  # (B, 36, D)
+        stop = jnp.zeros((n_b, 1, d), views.dtype)
+        ob_img = jnp.concatenate([views, stop], axis=1)
+        ob_ang = jnp.concatenate(
+            [ang_tab[ov],
+             jnp.zeros((n_b, 1, cfg.angle_feat_size), ang_tab.dtype)],
+            axis=1)
+        kv, ka = b.pop("ob_kill_v"), b.pop("ob_kill_a")
+        ob_img = jnp.where(kv[:, None, None], 0, ob_img)
+        ob_ang = jnp.where(ka[:, None, None], 0, ob_ang)
+        b["ob_img"] = ob_img
+        b["ob_ang"] = ob_ang
+        b["ob_mask"] = jnp.ones((n_b, ob_img.shape[1]), bool)
+    return b
 
 
 def init_pretrain_params(cfg: ModelConfig, rng: jax.Array, views: int = 36,

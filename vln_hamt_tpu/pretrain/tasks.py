@@ -96,13 +96,20 @@ class PretrainBatcher:
             ex.update(self.ds.history_arrays(rec, t))
             if want_ob:
                 ex.update(self.ds.ob_pano_arrays(rec, t))
-                # random visual/angle kill regularizer (r2r_tasks.py:320-327)
-                v_exists = True
-                if self.rng.random() < self.random_kill_v:
-                    ex["ob_img"] = np.zeros_like(ex["ob_img"])
-                    v_exists = False
-                if v_exists and self.rng.random() < self.random_kill_a:
-                    ex["ob_ang"] = np.zeros_like(ex["ob_ang"])
+                # random visual/angle kill regularizer (r2r_tasks.py:320-327).
+                # Index mode ships the kill BITS (same rng draw order)
+                # and the device expansion applies them.
+                kill_v = self.rng.random() < self.random_kill_v
+                kill_a = (not kill_v
+                          and self.rng.random() < self.random_kill_a)
+                if "ob_img" in ex:
+                    if kill_v:
+                        ex["ob_img"] = np.zeros_like(ex["ob_img"])
+                    if kill_a:
+                        ex["ob_ang"] = np.zeros_like(ex["ob_ang"])
+                else:
+                    ex["ob_kill_v"] = np.bool_(kill_v)
+                    ex["ob_kill_a"] = np.bool_(kill_a)
             if want_progress:
                 ex["ob_progress"] = np.float32(self.ds.progress(rec, t))
             exs.append(ex)
@@ -154,12 +161,15 @@ class PretrainBatcher:
                     m[self.rng.integers(t)] = True  # at least one
                 mrc_masks[i, :t] = m
             # zero masked step features (input-side masking,
-            # r2r_tasks.py:138-146)
-            b["hist_img"] = np.where(mrc_masks[..., None], 0.0, b["hist_img"])
-            if "hist_pano_img" in b:
-                b["hist_pano_img"] = np.where(
-                    mrc_masks[..., None, None], 0.0, b["hist_pano_img"]
-                )
+            # r2r_tasks.py:138-146); index mode defers the zeroing (and
+            # the prob-label softmax) to the device expansion
+            if "hist_img" in b:
+                b["hist_img"] = np.where(mrc_masks[..., None], 0.0,
+                                         b["hist_img"])
+                if "hist_pano_img" in b:
+                    b["hist_pano_img"] = np.where(
+                        mrc_masks[..., None, None], 0.0, b["hist_pano_img"]
+                    )
             b["hist_mrc_masks"] = mrc_masks
             return b
 

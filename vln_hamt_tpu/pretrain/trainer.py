@@ -83,6 +83,7 @@ class PretrainTrainer:
         params=None,
         aug_batcher: Optional[PretrainBatcher] = None,
         aug_ratio: float = 0.5,  # P(draw from aug stream) when given
+        feat_table=None,  # (N, 36, D+P) resident table: index-mode H2D
     ):
         self.cfg = cfg
         self.batcher = batcher
@@ -91,6 +92,14 @@ class PretrainTrainer:
         self.batch_size = batch_size
         self.scheduler = TaskScheduler(tasks, mix_ratio, seed)
         self.mesh = mesh
+        # index-mode feature transport (model.py:expand_index_batch):
+        # batches carry int32 table rows; the table lives in HBM
+        self._feat_table = (None if feat_table is None
+                            else jax.device_put(jnp.asarray(feat_table)))
+        if mesh is not None and self._feat_table is not None:
+            from ..parallel.mesh import replicate
+
+            self._feat_table = replicate(self._feat_table, mesh)
 
         if model is None:
             model, params = init_pretrain_params(
@@ -127,13 +136,13 @@ class PretrainTrainer:
 
         @partial(jax.jit, static_argnames=("task",),
                  donate_argnames=("params", "opt_state"))
-        def _update(params, opt_state, batch, rng, task):
+        def _update(params, opt_state, batch, rng, task, feat_table=None):
             fast = params.fast if lookahead else params
 
             def loss_fn(p):
                 loss, aux = self.model.apply(
                     {"params": p}, batch, task, deterministic=False,
-                    rngs={"dropout": rng},
+                    feat_table=feat_table, rngs={"dropout": rng},
                 )
                 return loss, aux
 
@@ -143,9 +152,10 @@ class PretrainTrainer:
             return params, opt_state, loss, aux
 
         @partial(jax.jit, static_argnames=("task",))
-        def _eval(params, batch, task):
+        def _eval(params, batch, task, feat_table=None):
             return self.model.apply({"params": params}, batch, task,
-                                    deterministic=True)
+                                    deterministic=True,
+                                    feat_table=feat_table)
 
         self._update = _update
         self._eval = _eval
@@ -240,7 +250,8 @@ class PretrainTrainer:
             batch = jax.tree.map(jnp.asarray, batch)
         self._rng, rng = jax.random.split(self._rng)
         params, opt_state, loss, aux = self._update(
-            self.state.params, self.state.opt_state, batch, rng, task
+            self.state.params, self.state.opt_state, batch, rng, task,
+            self._feat_table
         )
         self.state = PretrainState(params, opt_state, self.state.step + 1)
         if not sync:
@@ -265,7 +276,8 @@ class PretrainTrainer:
             for _ in range(n_batches):
                 batch = val_batcher.batch(task, self.batch_size)
                 batch = jax.tree.map(jnp.asarray, batch)
-                loss, aux = self._eval(self.params, batch, task)
+                loss, aux = self._eval(self.params, batch, task,
+                                       self._feat_table)
                 sums["loss"] += float(loss)
                 for k, v in aux.items():
                     sums[k] += float(np.asarray(v))

@@ -133,6 +133,13 @@ class TrajectoryDataset:
         self.max_hist_len = max_hist_len
         self.hist_enc_pano = hist_enc_pano
         self.angle_table = all_point_angle_feature(angle_feat_size)  # (36,36,A)
+        #: scan -> global feature-table row offset; set via
+        #: :meth:`set_feat_offsets` to switch example assembly to
+        #: INDEX mode: examples then carry int32 table rows instead of
+        #: materialized features, and the model gathers/expands them on
+        #: device from the resident table (model.py:expand_index_batch)
+        #: — the pretrain twin of the fine-tune feature-table transport.
+        self.feat_offsets: Optional[Dict[str, int]] = None
 
         # (i_traj, j_instr, path_len) and (i_traj, j_instr, t) refs
         # (r2r_data.py:126-136)
@@ -150,34 +157,53 @@ class TrajectoryDataset:
     def _features(self, scan: str, vp: str) -> np.ndarray:
         return self.feat_db.get(scan, vp)
 
+    def set_feat_offsets(self, offsets: Dict[str, int]) -> None:
+        """Switch to index-mode assembly (resident feature table;
+        layout from data.feature_db.build_feature_table)."""
+        self.feat_offsets = offsets
+
     def history_arrays(self, rec: TrajRecord, t_cur: int,
                        want_probs: bool = False) -> Dict[str, np.ndarray]:
         """History features for steps < t_cur, padded to max_hist_len
-        (r2r_data.py:264-315)."""
+        (r2r_data.py:264-315). Index mode ships (H,) table rows + view
+        indices instead of the (H, 36, D) feature stacks — the angles,
+        masks and lengths are identical in both modes."""
         h = self.max_hist_len
         d, a = self.image_feat_size, self.angle_feat_size
+        index_mode = self.feat_offsets is not None
         out = {
-            "hist_img": np.zeros((h, d), np.float32),
             "hist_ang": np.zeros((h, a), np.float32),
             "hist_mask": np.zeros((h + 1,), bool),  # +1 for [CLS]
             "hist_len": t_cur,
         }
         out["hist_mask"][: t_cur + 1] = True
-        if self.hist_enc_pano:
-            out["hist_pano_img"] = np.zeros((h, NUM_VIEWS, d), np.float32)
-            out["hist_pano_ang"] = np.zeros((h, NUM_VIEWS, a), np.float32)
-        if want_probs:
-            out["hist_img_probs"] = np.zeros((h, self.image_prob_size), np.float32)
+        if index_mode:
+            out["hist_node"] = np.zeros((h,), np.int32)
+            out["hist_view"] = np.zeros((h,), np.int32)
+            g = self.graphs[rec.scan]
+            off = self.feat_offsets[rec.scan]
+        else:
+            out["hist_img"] = np.zeros((h, d), np.float32)
+            if self.hist_enc_pano:
+                out["hist_pano_img"] = np.zeros((h, NUM_VIEWS, d), np.float32)
+                out["hist_pano_ang"] = np.zeros((h, NUM_VIEWS, a), np.float32)
+            if want_probs:
+                out["hist_img_probs"] = np.zeros((h, self.image_prob_size),
+                                                 np.float32)
 
         for t in range(t_cur):
             vp = rec.path[t]
             vidx = int(rec.path_viewindex[t])
-            fts = self._features(rec.scan, vp)
-            out["hist_img"][t] = fts[vidx, : self.image_feat_size]
             if t != len(rec.path) - 1:  # non-stop step has an action angle
                 out["hist_ang"][t] = angle_features(
                     rec.rel_act_angles[t, 0], rec.rel_act_angles[t, 1], a
                 )
+            if index_mode:
+                out["hist_node"][t] = off + g.index(vp)
+                out["hist_view"][t] = vidx
+                continue
+            fts = self._features(rec.scan, vp)
+            out["hist_img"][t] = fts[vidx, : self.image_feat_size]
             if self.hist_enc_pano:
                 out["hist_pano_img"][t] = fts[:, : self.image_feat_size]
                 out["hist_pano_ang"][t] = self.angle_table[vidx]
@@ -190,18 +216,15 @@ class TrajectoryDataset:
 
     def ob_pano_arrays(self, rec: TrajRecord, t_cur: int) -> Dict[str, np.ndarray]:
         """Pano-layout observation at step t_cur: 36 views + STOP
-        (r2r_data.py:204-220). Candidates marked nav type 1, STOP 2."""
+        (r2r_data.py:204-220). Candidates marked nav type 1, STOP 2.
+        Index mode ships the table row + view index; nav types and
+        labels are identical in both modes."""
         g = self.graphs[rec.scan]
         vp = rec.path[t_cur]
         node = g.index(vp)
         vidx = int(rec.path_viewindex[t_cur])
-        fts = self._features(rec.scan, vp)
 
         n = NUM_VIEWS + 1
-        ob_img = np.zeros((n, self.image_feat_size), np.float32)
-        ob_img[:NUM_VIEWS] = fts[:, : self.image_feat_size]
-        ob_ang = np.zeros((n, self.angle_feat_size), np.float32)
-        ob_ang[:NUM_VIEWS] = self.angle_table[vidx]
         ob_nav = np.zeros((n,), np.int32)
         ob_nav[NUM_VIEWS] = 2
         cand_views = g.nbr_point_id[node][g.nbr_index[node] >= 0]
@@ -214,14 +237,23 @@ class TrajectoryDataset:
             gt_label = NUM_VIEWS  # STOP token
             gt_angle = np.zeros((2,), np.float32)
 
-        return {
-            "ob_img": ob_img,
-            "ob_ang": ob_ang,
+        out = {
             "ob_nav": ob_nav,
-            "ob_mask": np.ones((n,), bool),
             "ob_action_viewindex": np.int32(gt_label),
             "ob_action_angles": np.asarray(gt_angle, np.float32),
         }
+        if self.feat_offsets is not None:
+            out["ob_node"] = np.int32(self.feat_offsets[rec.scan] + node)
+            out["ob_view"] = np.int32(vidx)
+            return out
+        fts = self._features(rec.scan, vp)
+        ob_img = np.zeros((n, self.image_feat_size), np.float32)
+        ob_img[:NUM_VIEWS] = fts[:, : self.image_feat_size]
+        ob_ang = np.zeros((n, self.angle_feat_size), np.float32)
+        ob_ang[:NUM_VIEWS] = self.angle_table[vidx]
+        out.update(ob_img=ob_img, ob_ang=ob_ang,
+                   ob_mask=np.ones((n,), bool))
+        return out
 
     def progress(self, rec: TrajRecord, t_cur: int) -> float:
         """Normalized progress label (r2r_data.py:337-345)."""

@@ -181,11 +181,25 @@ def main(argv=None):
     start_step = trainer.resume(args.resume) if args.resume else 0
 
     logger = MetricsLogger(args.output_dir)
+    # async step dispatch; sync (and measure ex/s like the reference,
+    # main_r2r_image.py throughput logging) only at log points
+    import time
+
+    import numpy as _np
+
+    t_last, n_since = time.perf_counter(), 0
     for step in range(start_step, args.num_steps):
-        task, loss, aux = trainer.train_step()
+        task, loss, aux = trainer.train_step(sync=False)
+        n_since += 1
         if (step + 1) % max(args.valid_steps // 10, 1) == 0:
-            logger.log(step + 1, {f"{task}/loss": loss, **{
-                f"{task}/{k}": v for k, v in aux.items()}})
+            loss = float(loss)  # sync point
+            now = time.perf_counter()
+            ex_s = n_since * args.batch_size / (now - t_last)
+            t_last, n_since = now, 0
+            logger.log(step + 1, {f"{task}/loss": loss,
+                                  "ex_per_sec": round(ex_s, 2), **{
+                f"{task}/{k}": float(_np.asarray(v))
+                for k, v in aux.items()}})
         if (step + 1) % args.valid_steps == 0 or step + 1 == args.num_steps:
             val = trainer.validate(val_batcher)
             flat = {f"val/{t}/{k}": v for t, stats in val.items()

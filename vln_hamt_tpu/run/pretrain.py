@@ -80,6 +80,9 @@ def parse_args(argv=None):
     p.add_argument("--mix_ratio", nargs="+", type=float,
                    default=list(DEFAULT_MIX))
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--no_feat_table", action="store_true",
+                   help="ship materialized feature batches instead of "
+                        "the resident table + int32 rows")
     p.add_argument("--tiny", action="store_true",
                    help="small model (smoke tests/demos)")
     p.add_argument("--train_traj_files", nargs="+", default=None)
@@ -157,6 +160,24 @@ def main(argv=None):
         assert args.train_traj_files and args.img_ft_file and args.connectivity_dir
         train_ds, val_ds = build_real(args, mcfg)
 
+    feat_table = None
+    if not args.no_feat_table:
+        # index-mode feature transport: one resident (N, 36, D+P) table
+        # in HBM (bf16 with --bf16 — MRC's prob-tail softmax labels are
+        # then bf16-approximate); batches ship int32 rows instead of
+        # ~50 MB of features (model.py:expand_index_batch)
+        from ..data.feature_db import build_feature_table
+
+        table, offsets = build_feature_table(train_ds.graphs,
+                                             train_ds.feat_db)
+        if args.bf16:
+            import jax.numpy as jnp
+
+            table = jnp.asarray(table, jnp.bfloat16)
+        feat_table = table
+        train_ds.set_feat_offsets(offsets)
+        val_ds.set_feat_offsets(offsets)
+
     batcher = PretrainBatcher(train_ds, seed=args.seed)
     val_batcher = PretrainBatcher(val_ds, seed=args.seed + 1)
     mesh = None
@@ -170,7 +191,7 @@ def main(argv=None):
         batch_size=args.batch_size, lr=args.lr,
         warmup_steps=args.warmup_steps, total_steps=args.num_steps,
         grad_accum=args.grad_accum, seed=args.seed, mesh=mesh,
-        optim=args.optim,
+        optim=args.optim, feat_table=feat_table,
     )
     # initialization pathways (main_r2r.py:131-148): HF BERT/XLM-R
     # trunk init, a prior checkpoint, or resume
@@ -189,11 +210,25 @@ def main(argv=None):
     start_step = trainer.resume(args.resume) if args.resume else 0
     logger = MetricsLogger(args.output_dir)
 
+    # async step dispatch; sync (and measure ex/s like the reference,
+    # main_r2r.py:283-301) only at log points
+    import time
+
+    t_last, n_since = time.perf_counter(), 0
     for step in range(start_step, args.num_steps):
-        task, loss, aux = trainer.train_step()
+        task, loss, aux = trainer.train_step(sync=False)
+        n_since += 1
         if (step + 1) % max(args.valid_steps // 10, 1) == 0:
-            logger.log(step + 1, {f"{task}/loss": loss, **{
-                f"{task}/{k}": v for k, v in aux.items()}})
+            import numpy as _np
+
+            loss = float(loss)  # sync point
+            now = time.perf_counter()
+            ex_s = n_since * args.batch_size / (now - t_last)
+            t_last, n_since = now, 0
+            logger.log(step + 1, {f"{task}/loss": loss,
+                                  "ex_per_sec": round(ex_s, 2), **{
+                f"{task}/{k}": float(_np.asarray(v))
+                for k, v in aux.items()}})
         if (step + 1) % args.valid_steps == 0 or step + 1 == args.num_steps:
             val = trainer.validate(val_batcher)
             flat = {f"val/{t}/{k}": v for t, stats in val.items()
