@@ -125,3 +125,155 @@ def test_synthetic_world_consistency(world):
 def test_synthetic_graph_degree_bound():
     g = make_synthetic_graph("degtest", 40)
     assert g.max_degree <= 12
+
+
+# ------------------------------------------------- annotation loaders
+# Golden-value tests on tiny REFERENCE-FORMAT fixture files for all 7
+# datasets: ids, clip direction, and item counts must match the
+# reference loaders exactly (r2r/data_utils.py:26-83,
+# reverie/data_utils.py:45-88, cvdn/main.py:24-31).
+
+def _r2r_items(n_path=2, n_instr=2, enc_len=8):
+    items = []
+    for p in range(n_path):
+        items.append({
+            "path_id": 1000 + p,
+            "scan": "scan0",
+            "heading": 0.5,
+            "path": ["va", "vb", "vc"],
+            "instructions": [f"instr {p} {j}" for j in range(n_instr)],
+            "instr_encodings": [
+                [101] + [200 + p * 10 + j] * enc_len + [102]
+                for j in range(n_instr)
+            ],
+        })
+    return items
+
+
+@pytest.fixture()
+def anno_dir(tmp_path):
+    from vln_hamt_tpu.data.instructions import construct_instrs  # noqa: F401
+
+    d = tmp_path / "anno"
+    d.mkdir()
+    (d / "LastSent").mkdir()
+    (d / "ReturnBack").mkdir()
+    with open(d / "R2R_val_enc.json", "w") as f:
+        json.dump(_r2r_items(), f)
+    with open(d / "LastSent" / "R2R_val_enc.json", "w") as f:
+        json.dump(_r2r_items(n_path=1), f)
+    back = _r2r_items(n_path=1)
+    back[0]["midstop"] = "vb"
+    with open(d / "ReturnBack" / "R2R_val_enc.json", "w") as f:
+        json.dump(back, f)
+    with open(d / "R4R_val_enc.json", "w") as f:
+        json.dump(_r2r_items(n_path=3, n_instr=1), f)
+    # RxR: jsonl, already per-instruction; one GT item + one test item
+    with open(d / "rxr_val_guide_enc_xlmr.jsonl", "w") as f:
+        f.write(json.dumps({
+            "path_id": 7, "instruction_id": 70, "scan": "scan0",
+            "path": ["va", "vb"], "heading": 0.0,
+            "instr_encoding": list(range(600)),
+        }) + "\n")
+        f.write(json.dumps({
+            "instruction_id": 71, "scan": "scan0",
+            "path": ["va"], "heading": 0.0,
+            "instr_encoding": [1, 2, 3],
+        }) + "\n")
+    # REVERIE: objId in train/val ids; test split has neither objId nor
+    # path_id (reverie/data_utils.py:66-77)
+    rev = _r2r_items(n_path=2)
+    rev[0]["objId"] = 66
+    rev[1]["objId"] = 67
+    with open(d / "REVERIE_val_enc.json", "w") as f:
+        json.dump(rev, f)
+    rev_test = _r2r_items(n_path=1)
+    for it in rev_test:
+        del it["path_id"]
+        it["id"] = "rtest0"
+    with open(d / "REVERIE_test_enc.json", "w") as f:
+        json.dump(rev_test, f)
+    # xlmr annotation variant (reverie/data_utils.py:49-53)
+    rev_x = _r2r_items(n_path=1)
+    rev_x[0]["objId"] = 99
+    with open(d / "REVERIE_val_enc_xlmr.json", "w") as f:
+        json.dump(rev_x, f)
+    # CVDN/NDH: unexpanded items with a single pre-encoded dialog
+    with open(d / "val_enc.json", "w") as f:
+        json.dump([{
+            "instr_id": "901_0", "scan": "scan0",
+            "start_pano": "va", "start_heading": 1.1,
+            "end_panos": ["vc", "vd"],
+            "nav_steps": ["va", "vb", "vc"], "nav_idx": 1,
+            "instr_encoding": list(range(600)),
+        }, {
+            # GT-less test item: no end_panos
+            "instr_id": "902_0", "scan": "scan0",
+            "start_pano": "vb", "start_heading": 0.0,
+            "instr_encoding": [5, 6, 7],
+        }], f)
+    return str(d)
+
+
+def test_construct_instrs_r2r_family(anno_dir):
+    from vln_hamt_tpu.data.instructions import construct_instrs
+
+    items = construct_instrs(anno_dir, "r2r", ["val"], max_instr_len=6)
+    assert [it["instr_id"] for it in items] == [
+        "1000_0", "1000_1", "1001_0", "1001_1"]
+    for it in items:
+        # head clip (data_utils.py:74)
+        assert len(it["instr_encoding"]) == 6
+        assert it["instr_encoding"][0] == 101
+        assert "instructions" not in it and "instr_encodings" not in it
+    assert items[1]["instruction"] == "instr 0 1"
+
+    assert len(construct_instrs(anno_dir, "r2r_last", ["val"])) == 2
+    back = construct_instrs(anno_dir, "r2r_back", ["val"])
+    assert back[0]["midstop"] == "vb"
+    assert len(construct_instrs(anno_dir, "r4r", ["val"])) == 3
+
+
+def test_construct_instrs_rxr(anno_dir):
+    from vln_hamt_tpu.data.instructions import construct_instrs
+
+    items = construct_instrs(anno_dir, "rxr", ["val"], max_instr_len=100)
+    assert len(items) == 2
+    assert items[0]["instr_id"] == "7_70"
+    # head clip (data_utils.py:66)
+    assert items[0]["instr_encoding"] == list(range(100))
+    # test item: path_id = instr_id = str(instruction_id) (:64-65)
+    assert items[1]["instr_id"] == "71"
+    assert items[1]["path_id"] == "71"
+
+
+def test_construct_instrs_reverie(anno_dir):
+    from vln_hamt_tpu.data.instructions import construct_instrs
+
+    items = construct_instrs(anno_dir, "reverie", ["val"])
+    # instr_id includes the objId (reverie/data_utils.py:72-73)
+    assert [it["instr_id"] for it in items] == [
+        "1000_66_0", "1000_66_1", "1001_67_0", "1001_67_1"]
+    # test split: id fallback, objId None (:74-77)
+    test_items = construct_instrs(anno_dir, "reverie", ["test"])
+    assert [it["instr_id"] for it in test_items] == ["rtest0_0", "rtest0_1"]
+    assert all(it["objId"] is None for it in test_items)
+    assert all(it["path_id"] == "rtest0" for it in test_items)
+    # xlmr annotation file variant (:49-53)
+    x = construct_instrs(anno_dir, "reverie", ["val"], tokenizer="xlm")
+    assert [it["instr_id"] for it in x] == ["1000_99_0", "1000_99_1"]
+    with pytest.raises(ValueError):
+        construct_instrs(anno_dir, "reverie", ["val"], tokenizer="gpt")
+
+
+def test_construct_instrs_cvdn(anno_dir):
+    from vln_hamt_tpu.data.instructions import construct_instrs
+
+    items = construct_instrs(anno_dir, "cvdn", ["val"], max_instr_len=100)
+    # NDH items pass through UNEXPANDED (cvdn/main.py:28-30)
+    assert len(items) == 2
+    assert items[0]["instr_id"] == "901_0"
+    assert items[0]["nav_steps"] == ["va", "vb", "vc"]
+    # TAIL clip: the most recent dialog turns survive (cvdn/main.py:29)
+    assert items[0]["instr_encoding"] == list(range(500, 600))
+    assert items[1]["instr_encoding"] == [5, 6, 7]

@@ -98,6 +98,50 @@ class SyntheticFeatureDB(FeatureDB):
         return ft
 
 
+def load_object_db(obj_ft_file: str, obj_feat_size: int) -> Dict[Tuple[str, str], dict]:
+    """REVERIE object-feature HDF5 -> {(scan, viewpoint): entry}.
+
+    Reference: ``load_obj_database`` (reverie/data_utils.py:33-43) —
+    one dataset per ``{scan}_{viewpoint}`` key with ``obj_ids``,
+    ``bboxes`` (xywh) and ``viewindexs`` attrs; features clipped to
+    ``obj_feat_size``. We key by tuple (the env's ``obj_db`` schema).
+    """
+    import h5py
+
+    out: Dict[Tuple[str, str], dict] = {}
+    with h5py.File(obj_ft_file, "r") as f:
+        for key in f:
+            scan, vp = key.split("_")
+            out[(scan, vp)] = {
+                "obj_ids": [str(x) for x in f[key].attrs["obj_ids"]],
+                "fts": f[key][...].astype(np.float32)[:, :obj_feat_size],
+                "bboxes": np.asarray(f[key].attrs["bboxes"]),
+                "viewindexs": np.asarray(f[key].attrs["viewindexs"]),
+            }
+    return out
+
+
+def load_obj2viewpoint(anno_dir: str) -> Dict[str, list]:
+    """``BBoxes.json`` -> {f"{scan}_{objid}": [viewpoints where visible]}.
+
+    Reference: ``ReverieNavRefBatch.__init__``
+    (reverie/env.py:149-159): an object is attributed to every
+    viewpoint whose bbox entry has a non-empty ``visible_pos``.
+    """
+    import json
+    import os
+
+    with open(os.path.join(anno_dir, "BBoxes.json")) as f:
+        bbox_data = json.load(f)
+    obj2vp: Dict[str, list] = {}
+    for scanvp, value in bbox_data.items():
+        scan, vp = scanvp.split("_")
+        for objid, objinfo in value.items():
+            if objinfo["visible_pos"]:
+                obj2vp.setdefault(f"{scan}_{objid}", []).append(vp)
+    return obj2vp
+
+
 def build_feature_table(graphs, feat_db) -> Tuple[np.ndarray, Dict[str, int]]:
     """Materialize the whole split's pano features as one (N, V, D)
     table plus scan -> row-offset map.
