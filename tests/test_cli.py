@@ -118,6 +118,47 @@ def test_pretrain_cli_bert_init_and_resume(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_finetune_cli_init_pretrain(tmp_path, capsys):
+    """The core pretrain -> fine-tune pipeline (the reference's
+    --bert_ckpt_file recipe, vlnbert_init.py:20-31): a run/pretrain.py
+    checkpoint must initialize run/finetune.py's trunk and graft the
+    SAP head onto the action head."""
+    import pickle
+
+    from vln_hamt_tpu.run.finetune import main as finetune_main
+    from vln_hamt_tpu.run.pretrain import main as pretrain_main
+
+    pt = str(tmp_path / "pt")
+    pretrain_main(["--synthetic", "--tiny", "--num_steps", "2",
+                   "--valid_steps", "2", "--batch_size", "2",
+                   "--max_hist_len", "4", "--max_txt_len", "24",
+                   "--tasks", "sap", "--mix_ratio", "1",
+                   "--output_dir", pt])
+    capsys.readouterr()
+    ckpt = os.path.join(pt, "model_step_2.pkl")
+    with open(ckpt, "rb") as f:
+        pp = pickle.load(f)["params"]
+
+    ft = str(tmp_path / "ft")
+    # lr 0 freezes training so latest.pkl must equal the initialization
+    finetune_main(["--task", "r2r", "--synthetic", "--tiny",
+                   "--iters", "2", "--log_every", "2",
+                   "--feedback", "teacher", "--lr", "0",
+                   "--init_pretrain", ckpt, "--output_dir", ft])
+    printed = capsys.readouterr().out
+    assert "initialized weights from" in printed
+    with open(os.path.join(ft, "latest.pkl"), "rb") as f:
+        fp = pickle.load(f)["params"]
+    np.testing.assert_allclose(
+        np.asarray(fp["embeddings"]["word_embeddings"]["embedding"]),
+        np.asarray(pp["hamt"]["embeddings"]["word_embeddings"]["embedding"]))
+    # the SAP head landed on the fine-tune action head
+    np.testing.assert_allclose(
+        np.asarray(fp["act_dense1"]["kernel"]),
+        np.asarray(pp["next_action"]["dense1"]["kernel"]))
+
+
+@pytest.mark.slow
 def test_image_pretrain_cli_synthetic(tmp_path, capsys):
     """The e2e image-pretraining orchestrator (main_r2r_image.py parity):
     ViT-in-the-loop training at batch 1 with gradient accumulation."""

@@ -369,3 +369,106 @@ def test_hf_xlmr_init():
                                  jnp.asarray(inp["txt_mask"]),
                                  method=HAMT.encode_text))
     assert np.isfinite(out).all()
+
+
+def _remap_tokens(items, vocab):
+    """Clamp synthetic instruction tokens into a tiny test vocab."""
+    for it in items:
+        it["instr_encoding"] = [1 + (t % (vocab - 1))
+                                for t in it["instr_encoding"]]
+    return items
+
+
+def test_reference_agent_checkpoint_into_eval(tmp_path):
+    """A reference agent checkpoint FILE (the torch format written by
+    Seq2SeqCMTAgent.save, agent_cmt.py:607-622: vln_bert + critic
+    state_dicts under 'module.' DDP prefixes) must round-trip through
+    agent.init_from_reference into greedy evaluation — the production
+    path for evaluating released checkpoints (--init_ref_ckpt)."""
+    from vln_hamt_tpu.agents.agent import HAMTAgent
+    from vln_hamt_tpu.configs import HAMTConfig
+    from vln_hamt_tpu.data.fixtures import make_synthetic_world
+    from vln_hamt_tpu.env import ObsSpec, R2RNavEnv
+
+    ref = _make_ref_model()
+    torch.manual_seed(11)
+    critic_sd = {
+        "module.state2value.0.weight": torch.randn(512, H),
+        "module.state2value.0.bias": torch.randn(512),
+        "module.state2value.3.weight": torch.randn(1, 512),
+        "module.state2value.3.bias": torch.randn(1),
+    }
+    path = str(tmp_path / "ref_agent.pt")
+    torch.save({
+        "vln_bert": {"epoch": 7, "state_dict": {
+            "module." + k: v for k, v in ref.state_dict().items()}},
+        "critic": {"epoch": 7, "state_dict": critic_sd},
+    }, path)
+
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=10,
+                                 num_items=6, feat_dim=IMG, seed=3)
+    items = _remap_tokens(world.instr_data, VOCAB)
+    max_deg = max(g.max_degree for g in world.graphs.values())
+    cfg = HAMTConfig().replace(
+        model=dict(vocab_size=VOCAB, hidden_size=H,
+                   num_attention_heads=HEADS, intermediate_size=INTER,
+                   max_position_embeddings=32, num_l_layers=L_LAYERS,
+                   num_x_layers=X_LAYERS, num_h_pano_layers=PANO_LAYERS,
+                   image_feat_size=IMG, max_action_steps=8),
+        env=dict(max_action_len=6, max_instr_len=16,
+                 max_candidates=max_deg, image_feat_size=IMG),
+        train=dict(batch_size=3),
+    )
+    spec = ObsSpec(max_candidates=max_deg, image_feat_size=IMG)
+    env = R2RNavEnv(world.graphs, world.feat_db, items, spec,
+                    batch_size=3, max_instr_len=16, max_action_len=6,
+                    seed=0)
+    agent = HAMTAgent(cfg, env, seed=0)
+    skipped = agent.init_from_reference(path)
+    assert skipped == [], skipped
+    # the reference's action head + critic landed (transposed torch
+    # Linear convention)
+    np.testing.assert_allclose(
+        np.asarray(agent.state.params["act_dense1"]["kernel"]),
+        ref.state_dict()["next_action.net.0.weight"].numpy().T,
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(agent.state.cparams["Dense_0"]["kernel"]),
+        critic_sd["module.state2value.0.weight"].numpy().T, atol=1e-6)
+    preds = agent.eval_split(env)
+    assert len(preds) == len(items)
+    assert all(p["trajectory"] for p in preds)
+
+
+def test_reference_pretrain_checkpoint_conversion(tmp_path):
+    """The OTHER released-checkpoint format: a pretrain ModelSaver raw
+    state dict (bert.* trunk + top-level next_action head, the actual
+    --bert_ckpt_file payload). load_reference_checkpoint must apply the
+    reference's key remap (vlnbert_init.py:20-31) and produce the same
+    tree as the direct NavCMT conversion."""
+    from vln_hamt_tpu.models.convert import load_reference_checkpoint
+
+    ref = _make_ref_model()
+    sd = ref.state_dict()
+    pretrain_sd = {}
+    for k, v in sd.items():
+        if k.startswith("next_action"):
+            pretrain_sd["module." + k] = v  # SAP head at top level
+        else:
+            pretrain_sd["module.bert." + k] = v
+    # a pretrain-only head with no finetune twin must be ignored
+    pretrain_sd["module.itm_output.weight"] = torch.randn(2, H)
+    path = str(tmp_path / "ref_pretrain.pt")
+    torch.save(pretrain_sd, path)
+
+    got, critic = load_reference_checkpoint(path)
+    assert critic is None
+    want = convert_navcmt_state_dict(
+        {k: v.detach().numpy() for k, v in sd.items()},
+        num_l_layers=L_LAYERS, num_x_layers=X_LAYERS,
+        num_h_pano_layers=PANO_LAYERS)
+    flat_got = jax.tree_util.tree_leaves_with_path(got)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(want))
+    assert len(flat_got) == len(flat_want)
+    for path_, leaf in flat_got:
+        np.testing.assert_array_equal(leaf, flat_want[path_])

@@ -1156,6 +1156,61 @@ class HAMTAgent:
         with open(path, "wb") as f:
             pickle.dump(blob, f)
 
+    # --------------------------------------------- weight initialization
+    def _install_params(self, partial, critic_partial=None) -> List[str]:
+        """Merge converted (possibly partial) weight trees over the
+        current params with name/shape matching (the reference's
+        strict=False ``from_pretrained`` load, vlnbert_init.py:64-67),
+        cast to the template dtypes, and re-place on the mesh if one is
+        enabled. Optimizer state re-initializes (fresh fine-tuning run).
+        Returns the skipped (missing/shape-mismatched) leaf paths."""
+        import flax.serialization as fser
+
+        from ..models.convert import merge_matching_params
+
+        st = self.state
+        merged, skipped = merge_matching_params(
+            fser.to_state_dict(st.params), partial)
+        params = fser.from_state_dict(st.params, merged)
+        cparams = st.cparams
+        if critic_partial is not None:
+            cmerged, cskip = merge_matching_params(
+                fser.to_state_dict(st.cparams), critic_partial)
+            cparams = fser.from_state_dict(st.cparams, cmerged)
+            skipped += [f"critic.{p}" for p in cskip]
+        cast = lambda tpl, tree: jax.tree.map(
+            lambda a, b: jnp.asarray(b, a.dtype), tpl, tree)
+        params = self._place_like(st.params, cast(st.params, params))
+        cparams = self._place_like(st.cparams, cast(st.cparams, cparams))
+        self.state = TrainState(params, cparams, self.tx.init(params),
+                                self.ctx.init(cparams), st.step)
+        return skipped
+
+    def init_from_pretrain(self, path: str) -> List[str]:
+        """Initialize the trunk (and graft the SAP head onto the action
+        head) from a ``run/pretrain.py`` checkpoint — the reference's
+        core pretrain->fine-tune recipe (``--bert_ckpt_file``,
+        vlnbert_init.py:20-31; flag at r2r/parser.py:44). Call BEFORE
+        ``enable_mesh``/``load``. Returns skipped leaf paths."""
+        import pickle
+
+        from ..models.convert import pretrain_to_finetune_params
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        pp = blob.get("params", blob) if isinstance(blob, dict) else blob
+        return self._install_params(pretrain_to_finetune_params(pp))
+
+    def init_from_reference(self, path: str) -> List[str]:
+        """Initialize from a released reference torch checkpoint —
+        either an agent save (agent_cmt.py:607-622; critic included) or
+        a pretrain ModelSaver state dict (the ``--bert_ckpt_file``
+        files). Call BEFORE ``enable_mesh``/``load``."""
+        from ..models.convert import load_reference_checkpoint
+
+        params, critic = load_reference_checkpoint(path)
+        return self._install_params(params, critic)
+
     def load(self, path: str, resume_optimizer: bool = False) -> int:
         import flax.serialization as fser
 

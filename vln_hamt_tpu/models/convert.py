@@ -150,10 +150,13 @@ def convert_navcmt_state_dict(
                         f"hist_embeddings.pano_encoder.layer.{i}")
 
     # action head (NextActionPrediction :597-607: net.0 dense, net.2 LN,
-    # net.4 dense)
-    _linear(p, ("act_dense1",), sd, "next_action.net.0")
-    _layernorm(p, ("act_ln",), sd, "next_action.net.2")
-    _linear(p, ("act_dense2",), sd, "next_action.net.4")
+    # net.4 dense). Absent from pretrain checkpoints saved without the
+    # SAP task; the reference's name-matched load leaves it random
+    # (vlnbert_init.py:64-67) — so do we.
+    if "next_action.net.0.weight" in sd:
+        _linear(p, ("act_dense1",), sd, "next_action.net.0")
+        _layernorm(p, ("act_ln",), sd, "next_action.net.2")
+        _linear(p, ("act_dense2",), sd, "next_action.net.4")
 
     if has_objects:
         _linear(p, ("obj_img_linear",), sd, "obj_embeddings.img_linear")
@@ -352,12 +355,92 @@ def merge_params(base: Dict, override: Dict) -> Dict:
     return out
 
 
+def merge_matching_params(base: Dict, override: Dict):
+    """``merge_params`` with the reference's strict=False load
+    semantics (HF ``from_pretrained(state_dict=...)`` name-matching,
+    ``vlnbert_init.py:64-67``): override leaves replace base leaves
+    only when the leaf exists in base with the same shape; everything
+    else is skipped and reported. Returns ``(merged, skipped_paths)``."""
+    skipped: list = []
+
+    def rec(b: Dict, o: Dict, path: Tuple[str, ...]) -> Dict:
+        out = dict(b)
+        for k, v in o.items():
+            here = path + (str(k),)
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = rec(out[k], v, here)
+            elif k not in out or isinstance(v, dict) or isinstance(out[k], dict):
+                skipped.append(".".join(here))
+            elif tuple(np.shape(out[k])) != tuple(np.shape(v)):
+                skipped.append(".".join(here))
+            else:
+                out[k] = v
+        return out
+
+    return rec(dict(base), override, ()), skipped
+
+
+def _detect_navcmt_dims(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Infer the NavCMT stack depths + object-head presence from a
+    torch state dict's key names (so released checkpoints of any
+    configured depth convert without hand-passed dims)."""
+    def depth(pat: str) -> int:
+        rex = re.compile(pat)
+        mx = -1
+        for k in sd:
+            m = rex.match(k)
+            if m:
+                mx = max(mx, int(m.group(1)))
+        return mx + 1
+
+    return dict(
+        num_l_layers=depth(r"encoder\.layer\.(\d+)\."),
+        num_h_layers=depth(r"encoder\.h_layers\.(\d+)\."),
+        num_r_layers=depth(r"encoder\.r_layers\.(\d+)\."),
+        num_x_layers=depth(r"encoder\.x_layers\.(\d+)\."),
+        num_h_pano_layers=depth(r"hist_embeddings\.pano_encoder\.layer\.(\d+)\."),
+        has_objects="obj_embeddings.img_linear.weight" in sd,
+    )
+
+
 def load_reference_checkpoint(path: str):
-    """Load an agent checkpoint file saved by the reference
-    (agent_cmt.py:607-622) and convert both models."""
+    """Load a reference torch checkpoint and convert to flax params.
+
+    Handles BOTH released formats:
+
+    - agent checkpoints saved by ``Seq2SeqCMTAgent.save``
+      (``agent_cmt.py:607-622``: ``{'vln_bert': {'state_dict': ...},
+      'critic': ...}``) -> ``(navcmt_params, critic_params)``;
+    - pretrain ``ModelSaver`` state dicts (the released
+      ``--bert_ckpt_file`` files): the reference remaps ``module.``
+      prefixes and re-roots ``bert.*`` / top-level ``next_action.*``
+      onto NavCMT (``vlnbert_init.py:20-31``) -> ``(navcmt_params,
+      None)``.
+
+    Stack depths and the object head are auto-detected from key names.
+    """
     import torch
 
-    states = torch.load(path, map_location="cpu")
-    vln_sd = {k: v.numpy() for k, v in states["vln_bert"]["state_dict"].items()}
-    critic_sd = {k: v.numpy() for k, v in states["critic"]["state_dict"].items()}
-    return convert_navcmt_state_dict(vln_sd), convert_critic_state_dict(critic_sd)
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict) and "vln_bert" in blob:
+        vln_sd = {k.replace("module.", ""): np.asarray(v)
+                  for k, v in blob["vln_bert"]["state_dict"].items()}
+        critic = None
+        if "critic" in blob:
+            critic = convert_critic_state_dict(
+                {k: np.asarray(v)
+                 for k, v in blob["critic"]["state_dict"].items()})
+        return (convert_navcmt_state_dict(vln_sd, **_detect_navcmt_dims(vln_sd)),
+                critic)
+
+    # pretrain ModelSaver state dict (vlnbert_init.py:20-31 remap)
+    sd: Dict[str, Any] = {}
+    for k, v in blob.items():
+        if k.startswith("module."):
+            k = k[7:]
+        if k.startswith("bert."):
+            sd[k[5:]] = np.asarray(v)
+        elif k.startswith("next_action"):
+            sd[k] = np.asarray(v)
+        # other pretrain heads (mlm/itm/...) have no finetune twin
+    return convert_navcmt_state_dict(sd, **_detect_navcmt_dims(sd)), None

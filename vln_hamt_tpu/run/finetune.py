@@ -121,14 +121,25 @@ def build_synthetic_dataset(cfg: HAMTConfig, seed: int = 0,
     return cfg, train_env, val_envs
 
 
-def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
-    """Matterport-backed envs (main.py:26-83)."""
-    from ..data.feature_db import HDF5FeatureDB
+def build_real_dataset(cfg: HAMTConfig, args, valid_only: bool = False) -> Tuple:
+    """Matterport-backed envs (main.py:26-83).
+
+    ``valid_only`` builds only the evaluation envs — the reference's
+    ``valid()`` never touches the train split (r2r/main.py:225-269), so
+    a checkpoint can be evaluated with only val/test annotation files
+    present.
+    """
+    from ..data.feature_db import (HDF5FeatureDB, load_obj2viewpoint,
+                                   load_object_db)
 
     dataset = cfg.env.dataset
     feat_db = HDF5FeatureDB(args.img_ft_file, cfg.env.image_feat_size)
-    splits = {"train": ["train"], "val_train_seen": ["val_train_seen"],
-              "val_seen": ["val_seen"]}
+    # annotation-file variant selection (vlnbert_init.py:4-11: xlmr for
+    # rxr / --tokenizer xlm; the vocab size identifies the text trunk)
+    tokenizer = "xlm" if cfg.model.vocab_size > 100_000 else "bert"
+    splits = {} if valid_only else {"train": ["train"]}
+    splits.update({"val_train_seen": ["val_train_seen"],
+                   "val_seen": ["val_seen"]})
     # R4R's val_unseen is too large to evaluate during training; the
     # reference substitutes a sampled subset (r2r/main.py:59-63)
     if dataset == "r4r" and not getattr(args, "test", False):
@@ -140,7 +151,7 @@ def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
         for sp in (("test",) if dataset != "rxr"
                    else ("test_challenge_public", "test_standard_public")):
             splits[sp] = [sp]
-    if args.aug:
+    if args.aug and not valid_only:
         # separate aug env; training alternates GT/aug batches
         # (main.py:150-161)
         splits["aug"] = [args.aug]
@@ -150,7 +161,7 @@ def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
         try:
             instr[name] = construct_instrs(
                 args.anno_dir, dataset, sp,
-                max_instr_len=cfg.env.max_instr_len)
+                max_instr_len=cfg.env.max_instr_len, tokenizer=tokenizer)
         except FileNotFoundError:
             if name == "train":
                 raise
@@ -164,31 +175,86 @@ def build_real_dataset(cfg: HAMTConfig, args) -> Tuple:
                    ob_type=cfg.env.ob_type)
     env_cls = _ENV_CLS[dataset]
 
+    # task-specific env wiring (reverie/main_navref.py:26-80,
+    # cvdn/main.py:43-60)
+    env_kwargs: Dict[str, object] = {}
+    if dataset == "reverie":
+        obj_db = (load_object_db(args.obj_ft_file, cfg.model.obj_feat_size)
+                  if getattr(args, "obj_ft_file", None) else {})
+        env_kwargs.update(
+            obj_db=obj_db,
+            obj2viewpoint=load_obj2viewpoint(args.anno_dir),
+            max_objects=cfg.env.max_objects,
+            obj_feat_size=cfg.model.obj_feat_size,
+        )
+    elif dataset == "cvdn":
+        env_kwargs["use_player_path"] = cfg.env.use_player_path
+
     import jax
 
     n_proc, rank = jax.process_count(), jax.process_index()
 
     def make_env(data, name, shard):
+        kwargs = dict(env_kwargs)
+        if dataset == "reverie":
+            # endpoint resampling trains only (main_navref.py:44,76);
+            # start resampling is an aug-env-only augmentation (:56)
+            kwargs["multi_endpoints"] = (cfg.env.multi_endpoints
+                                         and name in ("train", "aug"))
+            kwargs["multi_startpoints"] = name == "aug"
         return env_cls(
             graphs, feat_db, data, spec,
             batch_size=cfg.train.batch_size,
             max_instr_len=cfg.env.max_instr_len,
             max_action_len=cfg.env.max_action_len,
-            seed=cfg.train.seed + (rank if name == "train" else 0),
+            # every process seeds identically: the multi-host design
+            # replicates env state and gathers the SAME global batch on
+            # all hosts (tests/mp_worker.py) — unlike the reference's
+            # per-rank DDP shuffling (cvdn/main.py:42-49)
+            seed=cfg.train.seed,
             name=name,
             sel_data_idxs=(rank, n_proc) if (shard and n_proc > 1) else None,
             reuse_episode_buffers=(name in ("train", "aug")),
+            **kwargs,
         )
 
-    train_env = make_env(instr["train"], "train", shard=False)
-    if args.aug:
-        train_env = (train_env, make_env(instr["aug"], "aug", shard=False))
+    train_env = None
+    if not valid_only:
+        train_env = make_env(instr["train"], "train", shard=False)
+        if args.aug:
+            train_env = (train_env, make_env(instr["aug"], "aug", shard=False))
     val_envs = {
         name: make_env(items, name, shard=True)
         for name, items in instr.items()
         if name not in ("train", "aug")
     }
     return cfg, train_env, val_envs
+
+
+def _apply_weight_init(agent, init_pretrain: Optional[str],
+                       init_ref_ckpt: Optional[str],
+                       record_file: Optional[str] = None) -> None:
+    """Route the two checkpoint-initialization pathways into the agent
+    (vlnbert_init.py:20-31): a run/pretrain.py pickle (trunk + SAP->
+    action-head graft) or a released reference torch checkpoint."""
+    assert not (init_pretrain and init_ref_ckpt), (
+        "--init_pretrain and --init_ref_ckpt are mutually exclusive")
+    skipped = None
+    if init_pretrain:
+        skipped = agent.init_from_pretrain(init_pretrain)
+        src = init_pretrain
+    elif init_ref_ckpt:
+        skipped = agent.init_from_reference(init_ref_ckpt)
+        src = init_ref_ckpt
+    if skipped is not None:
+        msg = (f"initialized weights from {src}"
+               + (f" (skipped {len(skipped)} mismatched leaves: "
+                  f"{', '.join(skipped[:8])}"
+                  + ("..." if len(skipped) > 8 else "") + ")"
+                  if skipped else ""))
+        print(msg)
+        if record_file:
+            write_record(record_file, msg)
 
 
 def train(
@@ -202,6 +268,8 @@ def train(
     resume_file: Optional[str] = None,
     no_cand_backtrack: bool = False,
     merged_sample: bool = True,
+    init_pretrain: Optional[str] = None,
+    init_ref_ckpt: Optional[str] = None,
 ) -> Dict[str, float]:
     """The main train/validate loop (main.py:86-222)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -219,6 +287,12 @@ def train(
     # --no_merged_sample falls back to the fused two-scan update, which
     # is bit-comparable to the host rollout (PARITY.md #18)
     agent.merged_sample_update = merged_sample
+    # weight initialization from a pretraining / released reference
+    # checkpoint (the reference's --bert_ckpt_file recipe,
+    # vlnbert_init.py:20-31; every scripts/run_*.sh passes one) —
+    # BEFORE enable_mesh/resume so values land pre-sharding and a
+    # --resume_file still wins
+    _apply_weight_init(agent, init_pretrain, init_ref_ckpt, record_file)
     if cfg.train.feat_table:
         # device-resident feature table: episodes/policy steps ship node
         # indices, the device gathers features (REVERIE additionally
@@ -291,7 +365,9 @@ def train(
 
 def valid(cfg: HAMTConfig, ckpt: Optional[str], val_envs: Dict[str, object],
           output_dir: str, submit: bool = False,
-          no_cand_backtrack: bool = False) -> Dict[str, Dict[str, float]]:
+          no_cand_backtrack: bool = False,
+          init_pretrain: Optional[str] = None,
+          init_ref_ckpt: Optional[str] = None) -> Dict[str, Dict[str, float]]:
     """Stand-alone evaluation of a checkpoint (main.py:225-269):
     greedy eval per split, metrics for GT splits, ``submit_{split}.json``
     dumps, and a valid.txt record file."""
@@ -299,6 +375,7 @@ def valid(cfg: HAMTConfig, ckpt: Optional[str], val_envs: Dict[str, object],
     record_file = os.path.join(output_dir, "valid.txt")
     dataset = cfg.env.dataset
     agent = _AGENT_CLS[dataset](cfg, None, seed=cfg.train.seed)
+    _apply_weight_init(agent, init_pretrain, init_ref_ckpt, record_file)
     if ckpt:
         step = agent.load(ckpt)
         write_record(record_file, f"loaded {ckpt} at iter {step}")
@@ -349,8 +426,20 @@ def parse_args(argv=None):
     p.add_argument("--anno_dir", default=None)
     p.add_argument("--connectivity_dir", default=None)
     p.add_argument("--img_ft_file", default=None)
+    p.add_argument("--obj_ft_file", default=None,
+                   help="REVERIE object-feature HDF5 "
+                        "(reverie/parser.py --obj_ft_file)")
     p.add_argument("--aug", default=None)
     p.add_argument("--resume_file", default=None)
+    p.add_argument("--init_pretrain", default=None,
+                   help="run/pretrain.py checkpoint to initialize the "
+                        "trunk from (SAP head grafts onto the action "
+                        "head; the reference's --bert_ckpt_file recipe, "
+                        "vlnbert_init.py:20-31)")
+    p.add_argument("--init_ref_ckpt", default=None,
+                   help="released reference torch checkpoint (agent "
+                        "save or pretrain ModelSaver state dict) to "
+                        "initialize weights from")
     p.add_argument("--eval_first", action="store_true")
     p.add_argument("--valid_only", action="store_true",
                    help="skip training; evaluate --resume_file on the "
@@ -414,13 +503,17 @@ def main(argv=None):
             model={"hidden_size": 64, "num_attention_heads": 4,
                    "intermediate_size": 128, "num_l_layers": 2,
                    "num_x_layers": 1, "num_h_pano_layers": 1,
-                   "image_feat_size": 32, "max_position_embeddings": 64,
-                   "max_action_steps": 24,
+                   # match run/pretrain.py --tiny so tiny pretrain
+                   # checkpoints graft without shape skips
+                   "image_feat_size": 32, "max_position_embeddings": 128,
+                   "max_action_steps": 32,
                    **({"obj_feat_size": 32}
                       if cfg.model.obj_feat_size > 0 else {})},
             env={"max_action_len": 8, "max_instr_len": 32,
                  "image_feat_size": 32},
-            train={"batch_size": 4, "lr": 1e-3},
+            # explicit CLI flags win over the tiny defaults
+            train={"batch_size": args.batch_size or 4,
+                   "lr": args.lr if args.lr is not None else 1e-3},
         )
 
     if args.synthetic:
@@ -431,12 +524,15 @@ def main(argv=None):
             "real-data runs need --anno_dir --connectivity_dir --img_ft_file "
             "(or pass --synthetic)"
         )
-        cfg, train_env, val_envs = build_real_dataset(cfg, args)
+        cfg, train_env, val_envs = build_real_dataset(
+            cfg, args, valid_only=args.valid_only)
 
     if args.valid_only:
         results = valid(cfg, args.resume_file, val_envs, args.output_dir,
                         submit=args.submit,
-                        no_cand_backtrack=args.no_cand_backtrack)
+                        no_cand_backtrack=args.no_cand_backtrack,
+                        init_pretrain=args.init_pretrain,
+                        init_ref_ckpt=args.init_ref_ckpt)
         print(json.dumps({"valid": results}, default=float))
         return
 
@@ -446,7 +542,9 @@ def main(argv=None):
                  iters=args.iters, log_every=args.log_every,
                  eval_first=args.eval_first, resume_file=args.resume_file,
                  no_cand_backtrack=args.no_cand_backtrack,
-                 merged_sample=not args.no_merged_sample)
+                 merged_sample=not args.no_merged_sample,
+                 init_pretrain=args.init_pretrain,
+                 init_ref_ckpt=args.init_ref_ckpt)
     print(json.dumps({"best": best}, default=float))
 
 
