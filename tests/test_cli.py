@@ -174,3 +174,22 @@ def test_image_pretrain_cli_synthetic(tmp_path, capsys):
     assert json.loads(printed.strip().splitlines()[-1])["final_step"] == 3
     assert os.path.exists(os.path.join(out, "model_step_3.pkl"))
     assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+
+def test_image_pretrain_cli_device_bench(tmp_path, capsys):
+    """--device_bench: compute-bound ex/s of the ViT-in-the-loop update
+    with the batch resident in device memory (the featurizer
+    --device_bench methodology), one JSON line, no checkpoints."""
+    from vln_hamt_tpu.run.image_pretrain import main
+
+    out = str(tmp_path / "iptb")
+    main(["--synthetic", "--tiny", "--device_bench", "2",
+          "--batch_size", "1", "--max_hist_len", "3", "--max_txt_len", "16",
+          "--tasks", "mlm", "sap", "--mix_ratio", "1", "1",
+          "--output_dir", out])
+    printed = capsys.readouterr().out
+    rec = json.loads(printed.strip().splitlines()[-1])
+    assert rec["device_bench_iters"] == 2
+    for task in ("mlm", "sap"):
+        assert rec["ex_per_sec_compute_bound"][task] > 0
+    assert not os.path.exists(os.path.join(out, "metrics.jsonl"))

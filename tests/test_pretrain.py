@@ -230,3 +230,44 @@ def test_index_mode_trainer(pretrain_setup):
         assert np.isfinite(loss), task
     val = trainer.validate(batcher, n_batches=1)
     assert all(np.isfinite(s["loss"]) for s in val.values())
+
+
+@pytest.mark.slow
+def test_full_split_validation_deterministic(pretrain_setup):
+    """Default validation iterates the WHOLE val split per task in a
+    fixed order (main_r2r.py:319-511 walks the entire dataloader) and
+    is bit-stable across calls — unlike the sampled mode, whose numbers
+    jitter with the batcher rng stream."""
+    _, _, ds, batcher = pretrain_setup
+    trainer = PretrainTrainer(TINY, batcher, batch_size=4, lr=1e-3,
+                              warmup_steps=5, total_steps=200,
+                              mix_ratio=(1, 1, 1, 1, 1, 1))
+    v1 = trainer.validate(batcher, tasks=("mlm", "sap", "itm"))
+    # advance the batcher rng stream between calls; full-split
+    # validation must not care
+    batcher.batch("mlm", 4)
+    batcher.batch("sprel", 4)
+    v2 = trainer.validate(batcher, tasks=("mlm", "sap", "itm"))
+    assert v1.keys() == v2.keys()
+    for task in v1:
+        for k in v1[task]:
+            assert v1[task][k] == v2[task][k], (task, k)
+    # coverage: weighted example count spans the full split (with
+    # wrap-padding the weights can only exceed the split size)
+    assert v1["sap"]["n"] > 0
+    n_steps = len(ds.traj_step_refer)
+    n_traj = len(ds.traj_refer)
+    assert n_steps > 4 and n_traj > 4  # actually multiple batches
+
+
+def test_ordered_refs_cover_split(pretrain_setup):
+    _, _, ds, batcher = pretrain_setup
+    b = 4
+    n = batcher.n_examples("sap")
+    seen = []
+    for s in range(0, n, b):
+        seen += batcher.ordered_refs("sap", s, b)
+    # every step example appears; the wrap-padded tail duplicates the
+    # split head
+    assert set(seen) == set(ds.traj_step_refer)
+    assert seen[:n] == list(ds.traj_step_refer)

@@ -260,7 +260,9 @@ def _core_bwd(rate, interpret, res, g):
             jax.ShapeDtypeStruct((b * h, lq, dh), q.dtype),
             jax.ShapeDtypeStruct((b * h, lk, dh), k.dtype),
             jax.ShapeDtypeStruct((b * h, lk, dh), v.dtype),
-            jax.ShapeDtypeStruct((b, 1, lk), additive_mask.dtype),
+            # dm accumulates ACROSS the head grid steps — keep the
+            # running sum in fp32 even for a bf16 mask (cast at the end)
+            jax.ShapeDtypeStruct((b, 1, lk), jnp.float32),
         ),
         grid=(b, h),
         in_specs=[sspec, bspec(lq), bspec(lk), bspec(lk), mspec, bspec(lq)],
@@ -276,7 +278,8 @@ def _core_bwd(rate, interpret, res, g):
     )
     ct_seed = np.zeros(seed.shape, jax.dtypes.float0)
     return (ct_seed, dq.reshape(b, h, lq, dh), dk.reshape(b, h, lk, dh),
-            dv.reshape(b, h, lk, dh), dm.reshape(additive_mask.shape))
+            dv.reshape(b, h, lk, dh),
+            dm.reshape(additive_mask.shape).astype(additive_mask.dtype))
 
 
 _fused_attention_core.defvjp(_core_fwd, _core_bwd)

@@ -113,17 +113,21 @@ class ImagePretrainBatcher(PretrainBatcher):
     STEP_TASKS = ("sap", "sar", "sprel")
     TRAJ_TASKS = ("mlm", "mrc", "itm")
 
-    def batch(self, task: str, batch_size: int) -> Dict[str, np.ndarray]:
+    def batch(self, task: str, batch_size: int,
+              refs=None) -> Dict[str, np.ndarray]:
         if task not in self.STEP_TASKS + self.TRAJ_TASKS:
             raise ValueError(f"unknown image-mode task {task!r}")
-        # re-sample refs locally so we know which records were drawn
-        if task in self.TRAJ_TASKS:
-            refs = [self.ds.traj_refer[self.rng.integers(len(self.ds.traj_refer))]
+        # sample refs locally so we know which records were drawn
+        # (explicit refs = deterministic full-split validation)
+        if refs is None:
+            if task in self.TRAJ_TASKS:
+                refs = [self.ds.traj_refer[
+                    self.rng.integers(len(self.ds.traj_refer))]
                     for _ in range(batch_size)]
-        else:
-            refs = [self.ds.traj_step_refer[
-                self.rng.integers(len(self.ds.traj_step_refer))]
-                for _ in range(batch_size)]
+            else:
+                refs = [self.ds.traj_step_refer[
+                    self.rng.integers(len(self.ds.traj_step_refer))]
+                    for _ in range(batch_size)]
 
         exs = []
         for (i, j, t) in refs:

@@ -68,11 +68,13 @@ class PretrainBatcher:
     def _stack(self, dicts: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         return {k: np.stack([d[k] for d in dicts]) for k in dicts[0]}
 
-    def _traj_examples(self, batch_size: int, want_probs: bool = False):
-        refs = [
-            self.ds.traj_refer[self.rng.integers(len(self.ds.traj_refer))]
-            for _ in range(batch_size)
-        ]
+    def _traj_examples(self, batch_size: int, want_probs: bool = False,
+                       refs=None):
+        if refs is None:
+            refs = [
+                self.ds.traj_refer[self.rng.integers(len(self.ds.traj_refer))]
+                for _ in range(batch_size)
+            ]
         exs = []
         for (i, j, path_len) in refs:
             rec = self.ds.records[i]
@@ -83,11 +85,13 @@ class PretrainBatcher:
         return exs
 
     def _step_examples(self, batch_size: int, want_ob: bool = True,
-                       want_progress: bool = False):
-        refs = [
-            self.ds.traj_step_refer[self.rng.integers(len(self.ds.traj_step_refer))]
-            for _ in range(batch_size)
-        ]
+                       want_progress: bool = False, refs=None):
+        if refs is None:
+            refs = [
+                self.ds.traj_step_refer[
+                    self.rng.integers(len(self.ds.traj_step_refer))]
+                for _ in range(batch_size)
+            ]
         exs = []
         for (i, j, t) in refs:
             rec = self.ds.records[i]
@@ -137,9 +141,28 @@ class PretrainBatcher:
         return out, labels
 
     # ------------------------------------------------------------------
-    def batch(self, task: str, batch_size: int) -> Dict[str, np.ndarray]:
+    TRAJ_TASKS = ("mlm", "mrc", "itm")
+
+    def n_examples(self, task: str) -> int:
+        """Val-split size for the task's example granularity (the
+        reference iterates the whole split per validator,
+        main_r2r.py:319-511)."""
+        return len(self.ds.traj_refer if task in self.TRAJ_TASKS
+                   else self.ds.traj_step_refer)
+
+    def ordered_refs(self, task: str, start: int, batch_size: int):
+        """Fixed-order full-coverage refs [start, start+B) with
+        wrap-around padding for the final partial batch (shapes stay
+        static; the duplicated tail rows are deterministic)."""
+        src = (self.ds.traj_refer if task in self.TRAJ_TASKS
+               else self.ds.traj_step_refer)
+        n = len(src)
+        return [src[(start + i) % n] for i in range(batch_size)]
+
+    def batch(self, task: str, batch_size: int,
+              refs=None) -> Dict[str, np.ndarray]:
         if task == "mlm":
-            exs = self._traj_examples(batch_size)
+            exs = self._traj_examples(batch_size, refs=refs)
             b = self._stack(exs)
             ids, labels = zip(*[
                 self._mask_tokens(b["txt_ids"][i], b["txt_mask"][i])
@@ -150,7 +173,7 @@ class PretrainBatcher:
             return b
 
         if task == "mrc":
-            exs = self._traj_examples(batch_size, want_probs=True)
+            exs = self._traj_examples(batch_size, want_probs=True, refs=refs)
             b = self._stack(exs)
             h = self.ds.max_hist_len
             mrc_masks = np.zeros((batch_size, h), bool)
@@ -174,7 +197,7 @@ class PretrainBatcher:
             return b
 
         if task == "itm":
-            exs = self._traj_examples(batch_size)
+            exs = self._traj_examples(batch_size, refs=refs)
             b = self._stack(exs)
             k1 = self.itm_in_batch_negs if batch_size > 1 else 0
             k2 = self.itm_shuffle_negs + (self.itm_in_batch_negs - k1)
@@ -195,13 +218,15 @@ class PretrainBatcher:
             return b
 
         if task == "sap":
-            return self._stack(self._step_examples(batch_size))
+            return self._stack(self._step_examples(batch_size, refs=refs))
 
         if task == "sar":
-            return self._stack(self._step_examples(batch_size, want_progress=True))
+            return self._stack(self._step_examples(batch_size,
+                                                   want_progress=True,
+                                                   refs=refs))
 
         if task == "sprel":
-            exs = self._step_examples(batch_size)
+            exs = self._step_examples(batch_size, refs=refs)
             b = self._stack(exs)
             anchors = self.rng.integers(0, NUM_VIEWS, batch_size)
             b["sp_anchor_idxs"] = anchors.astype(np.int32)

@@ -262,26 +262,59 @@ class PretrainTrainer:
 
     def validate(self, val_batcher: PretrainBatcher,
                  tasks: Optional[Sequence[str]] = None,
-                 n_batches: int = 4) -> Dict[str, Dict[str, float]]:
+                 n_batches: Optional[int] = None,
+                 seed: int = 1234) -> Dict[str, Dict[str, float]]:
         """Per-task validation with cross-host reduction
-        (main_r2r.py:319-511 validators + all_gather)."""
+        (main_r2r.py:319-511 validators + all_gather).
+
+        Default (``n_batches=None``): iterate the ENTIRE val split per
+        task in a fixed order (the reference walks the whole
+        val dataloader per validator), wrap-padding the final partial
+        batch so shapes stay static; batch metrics accumulate weighted
+        by their example counts; the masking/negative-sampling rng is
+        re-seeded per (task, seed) so outputs are bit-stable across
+        runs and across validation points. ``n_batches=N`` keeps the
+        cheap sampled mode (random batches from the batcher stream).
+        """
         from ..parallel.mesh import reduce_dict_mean
 
         out = {}
         for task in tasks or self.scheduler.tasks:
             if task == "itm" and self.batch_size < 2:
                 continue
-            sums: Dict[str, float] = defaultdict(float)
-            n = 0
-            for _ in range(n_batches):
-                batch = val_batcher.batch(task, self.batch_size)
-                batch = jax.tree.map(jnp.asarray, batch)
-                loss, aux = self._eval(self.params, batch, task,
-                                       self._feat_table)
-                sums["loss"] += float(loss)
-                for k, v in aux.items():
-                    sums[k] += float(np.asarray(v))
-                n += 1
-            out[task] = reduce_dict_mean(
-                {k: v / n for k, v in sums.items()})
+            full = n_batches is None
+            saved_rng = val_batcher.rng
+            if full:
+                # deterministic augmentation stream, independent of how
+                # many train/val draws came before (crc32, not hash():
+                # str hashing is salted per process)
+                import zlib
+
+                val_batcher.rng = np.random.default_rng(
+                    (seed << 8) + zlib.crc32(task.encode()) % 251)
+            try:
+                n_ex = val_batcher.n_examples(task) if full else 0
+                nb = (max(1, -(-n_ex // self.batch_size)) if full
+                      else n_batches)
+                sums: Dict[str, float] = defaultdict(float)
+                wsum = 0.0
+                for bi in range(nb):
+                    refs = (val_batcher.ordered_refs(
+                        task, bi * self.batch_size, self.batch_size)
+                        if full else None)
+                    batch = val_batcher.batch(task, self.batch_size,
+                                              refs=refs)
+                    batch = jax.tree.map(jnp.asarray, batch)
+                    loss, aux = self._eval(self.params, batch, task,
+                                           self._feat_table)
+                    aux = {k: float(np.asarray(v)) for k, v in aux.items()}
+                    w = aux.get("n", float(self.batch_size)) or 1.0
+                    sums["loss"] += float(loss) * w
+                    for k, v in aux.items():
+                        sums[k] += v * w
+                    wsum += w
+                out[task] = reduce_dict_mean(
+                    {k: v / wsum for k, v in sums.items()})
+            finally:
+                val_batcher.rng = saved_rng
         return out

@@ -83,6 +83,12 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--data_shards", type=int, default=1)
     p.add_argument("--model_shards", type=int, default=1)
+    p.add_argument("--device_bench", type=int, default=0,
+                   help="measure N ViT-in-the-loop update iterations "
+                        "per task with the batch resident in HBM — the "
+                        "compute-bound ex/s of the e2e image-pretrain "
+                        "step (the featurizer --device_bench "
+                        "methodology), then exit")
     return p.parse_args(argv)
 
 
@@ -179,6 +185,43 @@ def main(argv=None):
         trainer.set_params(
             fser.from_state_dict(trainer.params, blob["params"]))
     start_step = trainer.resume(args.resume) if args.resume else 0
+
+    if args.device_bench:
+        # compute-bound throughput of the ACTUAL e2e update (ViT over
+        # raw pixels + trunk + heads + optimizer), batch resident in
+        # HBM: isolates MXU time from the host/link image supply, the
+        # measurement BASELINE.md previously only derived by arithmetic
+        # from the featurizer row
+        import time
+
+        import jax.numpy as jnp
+
+        rng = jax.random.PRNGKey(0)
+        p_, o_ = trainer.state.params, trainer.state.opt_state
+        results = {}
+        for task in args.tasks:
+            if task == "itm" and args.batch_size < 2:
+                continue
+            batch = jax.tree.map(jnp.asarray,
+                                 batcher.batch(task, args.batch_size))
+            jax.block_until_ready(batch)
+            # compile + warm outside the timed loop
+            p_, o_, loss, _ = trainer._update(p_, o_, batch, rng, task,
+                                              trainer._feat_table)
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            for _ in range(args.device_bench):
+                p_, o_, loss, _ = trainer._update(p_, o_, batch, rng,
+                                                  task,
+                                                  trainer._feat_table)
+            jax.block_until_ready(loss)
+            dt = time.perf_counter() - t0
+            results[task] = round(
+                args.device_bench * args.batch_size / dt, 3)
+        print(json.dumps({"device_bench_iters": args.device_bench,
+                          "batch_size": args.batch_size,
+                          "ex_per_sec_compute_bound": results}))
+        return
 
     logger = MetricsLogger(args.output_dir)
     # async step dispatch; sync (and measure ex/s like the reference,
