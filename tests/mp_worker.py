@@ -11,7 +11,17 @@ and GSPMD compiles the cross-process gradient all-reduce into the
 jitted update.
 
 Invocation (by the test, never by pytest collection):
-    python tests/mp_worker.py <port> <process_id> <num_processes> <out.json>
+    python tests/mp_worker.py <port> <process_id> <num_processes> <out.json> \
+        [scenario]
+
+``scenario``: ``r2r`` (default — teacher + fused + MERGED sample
+updates, greedy eval), ``reverie`` (object-grounded merged update +
+eval with predObjIds), or ``sharded`` (per-host SHARDED feeding:
+each process's env holds only its own global-batch rows and the agent
+stitches them with ``make_array_from_process_local_data`` — the
+scalable multi-host layout; the worker derives each host's item stream
+from a full-data oracle env so the distributed run must reproduce the
+single-process oracle exactly).
 
 With ``num_processes=1`` it runs single-process on the same total device
 count — the parity oracle: the distributed run must reproduce its
@@ -29,6 +39,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main() -> None:
     port, pid, nprocs, out_path = sys.argv[1:5]
+    scenario = sys.argv[5] if len(sys.argv) > 5 else "r2r"
     pid, nprocs = int(pid), int(nprocs)
     if nprocs > 1:
         from vln_hamt_tpu.parallel.mesh import init_distributed
@@ -40,9 +51,13 @@ def main() -> None:
     import numpy as np
 
     from vln_hamt_tpu.agents.agent import HAMTAgent
+    from vln_hamt_tpu.agents.reverie import ReverieAgent
     from vln_hamt_tpu.configs import HAMTConfig
-    from vln_hamt_tpu.data.fixtures import make_synthetic_world
-    from vln_hamt_tpu.env import ObsSpec, R2RNavEnv
+    from vln_hamt_tpu.data.fixtures import (
+        add_synthetic_objects,
+        make_synthetic_world,
+    )
+    from vln_hamt_tpu.env import ObsSpec, R2RNavEnv, ReverieNavEnv
     from vln_hamt_tpu.parallel.mesh import (
         host_allgather,
         is_default_process,
@@ -68,6 +83,7 @@ def main() -> None:
             "max_action_steps": 20,
             "max_position_embeddings": 64,
             "feat_dropout": 0.1,
+            **({"obj_feat_size": 24} if scenario == "reverie" else {}),
         },
         env={
             "max_action_len": 8,
@@ -78,27 +94,90 @@ def main() -> None:
         train={"batch_size": 4, "lr": 1e-3, "ml_weight": 1.0},
     )
     spec = ObsSpec(max_candidates=max_deg, image_feat_size=feat_dim)
-    env = R2RNavEnv(
-        world.graphs, world.feat_db, world.instr_data, spec,
+    env_kwargs = dict(
         batch_size=cfg.train.batch_size,
         max_instr_len=cfg.env.max_instr_len,
         max_action_len=cfg.env.max_action_len, seed=0,
     )
-    agent = HAMTAgent(cfg, env, seed=0)
+    eval_env = None
+    if scenario == "reverie":
+        obj_db, obj2vp = add_synthetic_objects(world, obj_feat_size=24,
+                                               seed=1)
+        env = ReverieNavEnv(
+            world.graphs, world.feat_db, world.instr_data, spec,
+            obj_db=obj_db, obj2viewpoint=obj2vp, max_objects=4,
+            obj_feat_size=24, **env_kwargs)
+        agent = ReverieAgent(cfg, env, seed=0)
+    elif scenario == "sharded" and jax.process_count() > 1:
+        # this host's TRAIN item stream = its own global-batch rows of
+        # the oracle env's exact minibatch sequence (same data + seed
+        # ⇒ the distributed run must match the oracle loss-for-loss)
+        b_g = cfg.train.batch_size
+        b_l = b_g // nprocs
+        # teacher ×2 = 2 minibatches; each merged 'sample' iteration
+        # consumes TWO (IL teacher episode + rollout reset — the
+        # reference's two per-iteration rollout resets) ⇒ 6 total
+        n_stream_batches = 6
+        stream = R2RNavEnv(world.graphs, world.feat_db, world.instr_data,
+                           spec, **env_kwargs)
+        seq = []
+        for _ in range(n_stream_batches):
+            stream._next_minibatch()
+            seq.extend(stream.batch[pid * b_l:(pid + 1) * b_l])
+        env = R2RNavEnv(world.graphs, world.feat_db, world.instr_data,
+                        spec, **{**env_kwargs, "batch_size": b_l})
+        env.data, env.ix = seq, 0
+        # disjoint eval shards: this host evaluates items [pid*4, ...)
+        eval_env = R2RNavEnv(world.graphs, world.feat_db,
+                             world.instr_data[pid * 4:(pid + 1) * 4],
+                             spec, **{**env_kwargs, "batch_size": b_l})
+        agent = HAMTAgent(cfg, env, seed=0)
+    else:
+        env = R2RNavEnv(world.graphs, world.feat_db, world.instr_data,
+                        spec, **env_kwargs)
+        agent = HAMTAgent(cfg, env, seed=0)
     agent.enable_feature_table()
     # data sharded ACROSS processes, tensor-parallel WITHIN each
     # process (make_mesh lays devices out process-major)
     agent.enable_mesh(make_mesh(num_data=2, num_model=2))
+    if scenario == "sharded" and jax.process_count() > 1:
+        agent.enable_host_sharded_feed()
+        eval_env.feat_offsets = env.feat_offsets
 
     losses = []
-    for _ in range(2):
-        losses.append(float(agent.train_iteration("teacher")["loss"]))
-    for _ in range(2):
-        # fused sample update: IL + device rollout with grads + A2C
-        losses.append(float(agent.train_iteration("sample")["loss"]))
+    if scenario == "reverie":
+        # the production default: dual-CE merged single-scan update
+        agent.merged_sample_update = True
+        for _ in range(2):
+            losses.append(float(agent.train_iteration("sample")["loss"]))
+    elif scenario == "sharded":
+        for _ in range(2):
+            losses.append(float(agent.train_iteration("teacher")["loss"]))
+        agent.merged_sample_update = True
+        for _ in range(2):
+            losses.append(float(agent.train_iteration("sample")["loss"]))
+    else:
+        for _ in range(2):
+            losses.append(float(agent.train_iteration("teacher")["loss"]))
+        agent.merged_sample_update = False
+        for _ in range(2):
+            # fused sample update: IL + device rollout with grads + A2C
+            losses.append(float(agent.train_iteration("sample")["loss"]))
+        agent.merged_sample_update = True
+        for _ in range(2):
+            # merged single-scan update (the production CLI default)
+            losses.append(float(agent.train_iteration("sample")["loss"]))
 
-    preds = agent.eval_split(env)
+    if scenario == "sharded":
+        # each host evaluates its own disjoint shard with the
+        # device-scan evaluator; merge across processes
+        preds = [p for shard in host_allgather(
+            agent.eval_split_device(eval_env or env)) for p in shard]
+    else:
+        preds = agent.eval_split(env)
     traj = {p["instr_id"]: [x[0] for x in p["trajectory"]] for p in preds}
+    obj_preds = ({p["instr_id"]: p.get("predObjId") for p in preds}
+                 if scenario == "reverie" else None)
 
     # host-side collective wrappers (the reference's pickled all_gather
     # / reduce_dict surface)
@@ -110,6 +189,7 @@ def main() -> None:
             json.dump({
                 "losses": losses,
                 "traj": traj,
+                "obj_preds": obj_preds,
                 "gathered": gathered,
                 "reduced": reduced,
                 "process_count": jax.process_count(),

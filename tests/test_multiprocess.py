@@ -31,24 +31,28 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run(nprocs: int, devices_per_proc: int, tmp_path) -> dict:
+def _run(nprocs: int, devices_per_proc: int, tmp_path,
+         scenario: str = "r2r") -> dict:
     port = _free_port()
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={devices_per_proc}")
     env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
-    out = str(tmp_path / f"mp_{nprocs}.json")
+    out = str(tmp_path / f"mp_{scenario}_{nprocs}.json")
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(port), str(i), str(nprocs), out],
+            [sys.executable, _WORKER, str(port), str(i), str(nprocs), out,
+             scenario],
             env=env, cwd=_REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(nprocs)
     ]
     logs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=1200)
+        # three jitted update programs + eval compile per worker; a
+        # loaded CI box can push a single worker past 30 min
+        stdout, _ = p.communicate(timeout=2700)
         logs.append(stdout.decode(errors="replace"))
         assert p.returncode == 0, "\n".join(logs)
     with open(out) as f:
@@ -68,7 +72,87 @@ def test_two_process_training_matches_single(tmp_path):
 
     # same mesh shape, same global batches: the distributed run is the
     # same program with shards owned by different processes — losses
-    # (teacher ×2, fused sample ×2) and greedy trajectories must match
+    # (teacher ×2, fused sample ×2, MERGED sample ×2) and greedy
+    # trajectories must match
     np.testing.assert_allclose(dist["losses"], oracle["losses"],
                                rtol=2e-5, atol=1e-6)
     assert dist["traj"] == oracle["traj"]
+
+
+@pytest.mark.slow
+def test_two_process_reverie_matches_single(tmp_path):
+    """The object-grounded path under jax.process_count() > 1: dual-CE
+    merged updates and eval predObjIds must match the single-process
+    oracle (round-2 verdict #9)."""
+    dist = _run(nprocs=2, devices_per_proc=2, tmp_path=tmp_path,
+                scenario="reverie")
+    assert dist["process_count"] == 2
+    oracle = _run(nprocs=1, devices_per_proc=4, tmp_path=tmp_path,
+                  scenario="reverie")
+    np.testing.assert_allclose(dist["losses"], oracle["losses"],
+                               rtol=2e-5, atol=1e-6)
+    assert dist["traj"] == oracle["traj"]
+    assert dist["obj_preds"] == oracle["obj_preds"]
+
+
+@pytest.mark.slow
+def test_two_process_sharded_feed_matches_single(tmp_path):
+    """Per-host SHARDED feeding (each process's env holds only its own
+    global-batch rows; make_array_from_process_local_data stitches the
+    global arrays): teacher + merged-sample losses and device-eval
+    trajectories must reproduce the single-process full-batch oracle
+    exactly — host env work scales with processes without changing the
+    math (the reference's per-rank DDP feeding, cvdn/main.py:42-49)."""
+    dist = _run(nprocs=2, devices_per_proc=2, tmp_path=tmp_path,
+                scenario="sharded")
+    assert dist["process_count"] == 2
+    oracle = _run(nprocs=1, devices_per_proc=4, tmp_path=tmp_path,
+                  scenario="sharded")
+    np.testing.assert_allclose(dist["losses"], oracle["losses"],
+                               rtol=2e-5, atol=1e-6)
+    assert dist["traj"] == oracle["traj"]
+
+
+def _run_finetune_cli(nprocs: int, devices_per_proc: int, tmp_path) -> dict:
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}")
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = str(tmp_path / f"ft_{nprocs}.json")
+    worker = os.path.join(_REPO, "tests", "finetune_mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i), str(nprocs), out,
+             str(tmp_path / f"ft_run_{nprocs}_{i}")],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(nprocs)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=2700)
+        logs.append(stdout.decode(errors="replace"))
+        assert p.returncode == 0, "\n".join(logs)
+    with open(out) as f:
+        return json.load(f)
+
+
+@pytest.mark.slow
+def test_two_process_finetune_cli_matches_single(tmp_path):
+    """The ACTUAL production entry point (run/finetune.py main) across
+    2 processes: identical-seed env replicas, --data_shards mesh, merged
+    'sample' updates, device greedy eval + metrics — all must reproduce
+    the single-process oracle (round-2 verdict #3; the reference's
+    per-rank DDP feeding, cvdn/main.py:42-49)."""
+    dist = _run_finetune_cli(nprocs=2, devices_per_proc=1,
+                             tmp_path=tmp_path)
+    assert dist["process_count"] == 2
+    oracle = _run_finetune_cli(nprocs=1, devices_per_proc=2,
+                               tmp_path=tmp_path)
+    np.testing.assert_allclose(dist["losses"], oracle["losses"],
+                               rtol=2e-5, atol=1e-6)
+    assert dist["best"]["iter"] == oracle["best"]["iter"]
+    np.testing.assert_allclose(dist["best"]["score"], oracle["best"]["score"],
+                               rtol=1e-6)

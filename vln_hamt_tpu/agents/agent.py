@@ -151,8 +151,14 @@ class HAMTAgent:
         self._feat_table = None  # device (N, V, D); enable_feature_table
         self._nav_tables = None  # device nav tables (device rollout)
         self._device_rollout_fn = None
+        self._device_rollout_cache: Dict[tuple, Any] = {}
+        self._text_row_update = None
         self._replicate_fn = None  # multi-process output gather (_fetch)
         self.mesh = None  # jax.sharding.Mesh; enable_mesh
+        #: per-host sharded feeding (enable_host_sharded_feed): this
+        #: process assembles only its own global-batch rows
+        self.host_sharded_feed = False
+        self._feed_rows: Optional[Tuple[int, int]] = None
 
     # R2R reward shaping is baked into the device rollout scan; task
     # variants with different rewards keep the host rollout
@@ -240,12 +246,73 @@ class HAMTAgent:
         if getattr(self, "_obj_tables", None) is not None:
             self._obj_tables = replicate(self._obj_tables, mesh)
 
+    def enable_host_sharded_feed(self) -> None:
+        """Per-host sharded batch feeding over a multi-process mesh.
+
+        The identical-replica default (tests/mp_worker.py) has every
+        process assemble the full global batch from a same-seeded env
+        replica — correct, but host env work doesn't scale with
+        processes. In sharded-feed mode each process's env holds only
+        its own shard of the data and assembles only its own
+        ``process_feed_rows`` rows of the global batch;
+        ``jax.make_array_from_process_local_data`` stitches the global
+        ``P('data')`` arrays with zero host-side replication (the
+        reference's per-rank DDP feeding, ``cvdn/main.py:42-49`` +
+        ``utils/distributed.py:57-71``, without the gradient bucketing).
+
+        Supported paths: teacher IL, the fused/merged/device-rollout
+        'sample' updates, and :meth:`eval_split_device` — everything
+        that runs episodes as device scans. The host-LOOP paths
+        (lock-step rollout/eval, packed eval) interleave data-dependent
+        host control flow per process and stay on identical replicas.
+
+        Call AFTER ``enable_mesh`` (and ``enable_feature_table``), with
+        ``self.env`` already pointing at this process's shard: the env
+        batch must equal this process's row count.
+        """
+        from ..parallel.mesh import host_allgather, process_feed_rows
+
+        assert self.mesh is not None, "enable_mesh first"
+        start, stop = process_feed_rows(self.mesh,
+                                        self.cfg.train.batch_size)
+        if self.env is not None:
+            assert self.env.batch_size == stop - start, (
+                f"env batch {self.env.batch_size} != this process's "
+                f"global-batch rows [{start}, {stop})")
+        self._feed_rows = (start, stop)
+        self.host_sharded_feed = True
+        # episode-shape constants must be GLOBAL: a per-shard max would
+        # compile different programs on different processes (deadlock)
+        if hasattr(self, "_ref_max"):
+            self._ref_max = max(g["r"] for g in host_allgather(
+                {"r": self._ref_max}))
+        if hasattr(self, "_n_scan_max"):
+            self._n_scan_max = max(g["n"] for g in host_allgather(
+                {"n": self._n_scan_max}))
+
+    def _feed_local(self, x: np.ndarray) -> np.ndarray:
+        """Slice a fetched GLOBAL batch array down to this process's
+        own rows (identity without sharded feeding)."""
+        if not self.host_sharded_feed:
+            return x
+        start, stop = self._feed_rows
+        return x[start:stop]
+
     def _shard_data(self, tree, batch_size: Optional[int] = None):
         """Shard batch-leading leaves over the mesh 'data' axis (no-op
         without a mesh). Leaves whose leading dim != batch_size (when
-        given) are replicated instead."""
+        given) are replicated instead. In sharded-feed mode the tree
+        holds only this process's rows and is stitched into the global
+        batch instead."""
         if self.mesh is None:
             return tree
+        if self.host_sharded_feed:
+            from ..parallel.mesh import shard_batch_from_local
+
+            assert batch_size is not None, (
+                "sharded feeding needs the local batch size")
+            return shard_batch_from_local(
+                tree, self.mesh, batch_size, self.cfg.train.batch_size)
         from ..parallel.mesh import shard_batch
 
         return shard_batch(tree, self.mesh, batch_size)
@@ -486,6 +553,12 @@ class HAMTAgent:
         With ``record_for_replay``, extras carries everything the RL
         replay needs (episode arrays, rewards, masks).
         """
+        # per-process data-dependent control flow (the ended.all() early
+        # break, per-step action fetches indexed by env rows) requires
+        # identical env replicas on every process
+        assert not self.host_sharded_feed, (
+            "host-loop rollout needs identical-replica envs; sharded "
+            "feeding supports the device-scan paths only")
         env = self.env
         spec = env.spec
         stop = self.stop_slot
@@ -628,15 +701,23 @@ class HAMTAgent:
     device_rollout_task = "r2r"
 
     def _ensure_device_rollout_fn(self):
-        if self._device_rollout_fn is None:
+        # keyed on the env's episode shape so an eval env with a
+        # different horizon/margin gets its own compiled scan instead of
+        # silently reusing the first env's t_max
+        env = self.env
+        key = (self.device_rollout_task, env.max_action_len,
+               float(env.error_margin))
+        fn = self._device_rollout_cache.get(key)
+        if fn is None:
             from .rollout import build_device_rollout
 
-            env = self.env
-            self._device_rollout_fn = build_device_rollout(
+            fn = build_device_rollout(
                 self.model, self.critic, self.cfg.model, env.max_action_len,
                 ob_type=self.cfg.env.ob_type, error_margin=env.error_margin,
                 task=self.device_rollout_task)
-        return self._device_rollout_fn
+            self._device_rollout_cache[key] = fn
+        self._device_rollout_fn = fn
+        return fn
 
     def _device_rollout_args(self, include_rewards: bool = True):
         """Host prep for a device rollout: reset the env, ship start
@@ -858,14 +939,18 @@ class HAMTAgent:
             )
         elif feedback == "sample":
             il_ep = self._ep_to_device(self.env.teacher_episode())
-            il_rng = self._next_rng()
-            rl_rng = self._next_rng()
             use_device = (self.device_rollout_rewards
                           and self._nav_tables is not None
                           and self.env.feat_offsets is not None)
-            if (use_device and self.merged_sample_update
-                    and self.device_rollout_task != "reverie"):
-                # one scan: IL lanes ride INSIDE the rollout scan
+            if use_device and self.merged_sample_update:
+                # one scan: IL lanes ride INSIDE the rollout scan.
+                # RNG accounting (PARITY.md #18): the merged program
+                # draws IL and RL dropout keys JOINTLY from one rl_rng
+                # (2B lanes, fold_in(base, t) per step) — there is no
+                # separate host-side il_rng, which is exactly why this
+                # path is a different (equally valid) estimator from
+                # the fused two-scan update below.
+                rl_rng = self._next_rng()
                 self._ensure_device_rollout_fn()
                 ins, tkeys = self._device_rollout_args()
                 rins = {k: ins[k] for k in ("txt_ids", "txt_mask",
@@ -879,7 +964,11 @@ class HAMTAgent:
                     self._feat_table, self._nav_tables)
             elif use_device and self.fused_sample_update:
                 # one program: IL + sampling rollout WITH grads + A2C +
-                # optimizer step (no separate replay forward)
+                # optimizer step (no separate replay forward). Two host
+                # draws, matching the rollout-then-replay path below
+                # bit-for-bit (the fold_in(base, t) invariant).
+                il_rng = self._next_rng()
+                rl_rng = self._next_rng()
                 self._ensure_device_rollout_fn()
                 ins, tkeys = self._device_rollout_args()
                 rins = {k: ins[k] for k in ("txt_ids", "txt_mask",
@@ -893,6 +982,8 @@ class HAMTAgent:
                     self._feat_table, self._nav_tables,
                     getattr(self, "_obj_tables", None))
             else:
+                il_rng = self._next_rng()
+                rl_rng = self._next_rng()
                 if use_device:
                     # fully device-resident sampling rollout: one scan,
                     # no per-step host round trips
@@ -989,37 +1080,43 @@ class HAMTAgent:
                 and env.feat_offsets is not None), (
             "device eval needs enable_feature_table()")
         old_env, self.env = self.env, env
-        fn = self._ensure_device_rollout_fn()
-        env.reset_epoch(shuffle=False)
-        st = self.state
-        results: Dict[str, dict] = {}
-        looped = False
-        while not looped:
-            ins, _ = self._device_rollout_args(include_rewards=False)
-            ep, extras = fn(
-                st.params, st.cparams, ins["txt_ids"], ins["txt_mask"],
-                jax.random.PRNGKey(0), self._feat_table, self._nav_tables,
-                ins["start_node"], ins["start_view"], ins["offs"], {},
-                obj_tables=getattr(self, "_obj_tables", None),
-                deterministic=True, policy="argmax", compute_rewards=False)
-            for tr in self._decode_device_trajectories(env, ep, extras):
-                if tr["instr_id"] in results:
-                    looped = True
-                else:
-                    results[tr["instr_id"]] = tr
-        self.env = old_env
+        try:
+            fn = self._ensure_device_rollout_fn()
+            env.reset_epoch(shuffle=False)
+            st = self.state
+            results: Dict[str, dict] = {}
+            looped = False
+            while not looped:
+                ins, _ = self._device_rollout_args(include_rewards=False)
+                ep, extras = fn(
+                    st.params, st.cparams, ins["txt_ids"], ins["txt_mask"],
+                    jax.random.PRNGKey(0), self._feat_table, self._nav_tables,
+                    ins["start_node"], ins["start_view"], ins["offs"], {},
+                    obj_tables=getattr(self, "_obj_tables", None),
+                    deterministic=True, policy="argmax", compute_rewards=False)
+                for tr in self._decode_device_trajectories(env, ep, extras):
+                    if tr["instr_id"] in results:
+                        looped = True
+                    else:
+                        results[tr["instr_id"]] = tr
+        finally:
+            self.env = old_env
         return list(results.values())
 
     def _decode_device_trajectories(self, env, ep, extras) -> List[dict]:
         """Recorded scan episode -> eval predictions (host-side)."""
         from ..data.angle import view_elevation, view_heading
 
-        node = self._fetch(ep["node_idx"])
-        view = self._fetch(ep["view_index"])
-        actions = self._fetch(ep["actions"])
-        mask = self._fetch(ep["step_mask"])
-        fnode = self._fetch(ep["final_node_idx"])
-        fview = self._fetch(ep["final_view_index"])
+        # sharded feeding: the fetched arrays are GLOBAL; decode only
+        # this process's rows (they map 1:1 onto env.batch)
+        node = self._feed_local(self._fetch(ep["node_idx"]))
+        view = self._feed_local(self._fetch(ep["view_index"]))
+        actions = self._feed_local(self._fetch(ep["actions"]))
+        mask = self._feed_local(self._fetch(ep["step_mask"]))
+        fnode = self._feed_local(self._fetch(ep["final_node_idx"]))
+        fview = self._feed_local(self._fetch(ep["final_view_index"]))
+        extras_np = {k: self._feed_local(v)
+                     for k, v in self._fetch_decode_extras(extras).items()}
         b, t_max = node.shape
         c = env.spec.max_candidates  # action < c is a nav move
         out = []
@@ -1043,14 +1140,40 @@ class HAMTAgent:
                     path.append(pose(nn, nv))
             pred = {"instr_id": item["instr_id"], "trajectory": path}
             self._decode_device_extras(pred, env, i, node, view, actions,
-                                       mask, extras)
+                                       mask, extras_np)
             out.append(pred)
         return out
 
+    def _ensure_text_row_update(self):
+        """Jitted scatter-update: re-encode only K text rows and write
+        them into the cached (B, ...) text embeddings — the packed
+        evaluator's slot reset touches a few rows per consume, so
+        re-encoding the whole batch (round-1 verdict #7) wasted
+        (B-K)/B of the text-encoder work."""
+        if self._text_row_update is None:
+            no_lang_ca = self.cfg.model.no_lang_ca
+
+            @jax.jit
+            def upd(params, txt_embeds, ids_k, mask_k, rows, rng):
+                emb = self.encode_text(params, ids_k, mask_k, rng, True)
+                emb = emb.astype(txt_embeds.dtype)
+                if no_lang_ca:  # (X+1, B, L, D): batch is axis 1
+                    return txt_embeds.at[:, rows].set(emb)
+                return txt_embeds.at[rows].set(emb)
+
+            self._text_row_update = upd
+        return self._text_row_update
+
+    def _fetch_decode_extras(self, extras) -> dict:
+        """Device extras -> the host arrays the per-item decode needs —
+        fetched ONCE per batch (variant agents override)."""
+        return {}
+
     def _decode_device_extras(self, pred, env, i, node, view, actions,
-                              mask, extras) -> None:
+                              mask, extras_np) -> None:
         """Per-task prediction extras (midstop, predObjId) — variant
-        agents override."""
+        agents override. ``extras_np`` is :meth:`_fetch_decode_extras`'s
+        host-side batch fetch."""
         return None
 
     def eval_split_packed(self, env: Optional[R2RNavEnv] = None,
@@ -1076,6 +1199,9 @@ class HAMTAgent:
         """
         from .rollout import build_slot_reset
 
+        assert not self.host_sharded_feed, (
+            "packed eval is a host-loop path; sharded feeding supports "
+            "eval_split_device")
         env = env or self.env
         old_env, self.env = self.env, env
         if not hasattr(self, "_slot_reset"):
@@ -1369,9 +1495,20 @@ class _PackedEvalGroup:
                 jnp.asarray(reset_mask), self.rng)
             txt_ids, txt_mask = env.txt_batch()
             self.txt_mask = txt_mask
-            self.txt_embeds = a.encode_text(
-                a.state.params, jnp.asarray(txt_ids), jnp.asarray(txt_mask),
-                self.rng, True)
+            # slot-granular text re-encode: only the reset rows run the
+            # text encoder (fixed-K chunks; pad by repeating the first
+            # row — identical values, so the duplicate scatter is safe)
+            rows = np.nonzero(reset_mask)[0]
+            k = min(b, 8)
+            upd = a._ensure_text_row_update()
+            for s in range(0, len(rows), k):
+                chunk = rows[s:s + k]
+                pad = np.full((k,), chunk[0], np.int32)
+                pad[: len(chunk)] = chunk
+                self.txt_embeds = upd(
+                    a.state.params, self.txt_embeds,
+                    jnp.asarray(txt_ids[pad]), jnp.asarray(txt_mask[pad]),
+                    jnp.asarray(pad), self.rng)
             self.obs = env._observe()
         else:
             self.obs = obs_after

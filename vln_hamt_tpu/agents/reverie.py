@@ -300,15 +300,16 @@ class ReverieAgent(HAMTAgent):
     def _packed_slot_result(self, st, pred):
         pred["predObjId"] = st.get("predObjId", str(None))
 
+    def _fetch_decode_extras(self, extras) -> dict:
+        return {"obj_pred": self._fetch(extras["obj_pred"])}
+
     def _decode_device_extras(self, pred, env, i, node, view, actions,
-                              mask, extras) -> None:
+                              mask, extras_np) -> None:
         """Device-scan eval: grounded object at the (forced) stop step
         (host twin above: a_t >= num_ob_tokens or t == t_max-1). The
         scan records per-step argmax over the masked object logits;
         the host maps it through the node's obj-id list."""
-        op = extras.get("_obj_pred_np")
-        if op is None:
-            op = extras["_obj_pred_np"] = self._fetch(extras["obj_pred"])
+        op = extras_np["obj_pred"]
         n_ob = self.num_ob_tokens
         t_max = actions.shape[1]
         stop_t = t_max - 1
@@ -635,14 +636,15 @@ class ReverieAgent(HAMTAgent):
                                     self._feat_table, self._obj_tables))
         elif feedback == "sample":
             il_ep = self._ref_teacher_episode()
-            il_rng = self._next_rng()
-            rl_rng = self._next_rng()
             use_device = (self.device_rollout_rewards
                           and self._nav_tables is not None
                           and self.env.feat_offsets is not None)
             if use_device and self.merged_sample_update:
                 # one scan: dual-CE IL lanes ride INSIDE the
-                # object-grounded rollout scan (PARITY.md #18)
+                # object-grounded rollout scan. One joint rng draw —
+                # the merged program folds IL and RL dropout keys from
+                # the same base (PARITY.md #18), no host-side il_rng.
+                rl_rng = self._next_rng()
                 self._ensure_device_rollout_fn()
                 ins, tkeys = self._device_rollout_args()
                 rins = {k: ins[k] for k in ("txt_ids", "txt_mask",
@@ -656,7 +658,10 @@ class ReverieAgent(HAMTAgent):
                     self._feat_table, self._nav_tables, self._obj_tables)
             elif use_device and self.fused_sample_update:
                 # one program: dual-CE IL + object-grounded rollout WITH
-                # grads + A2C + optimizer (no replay forward)
+                # grads + A2C + optimizer (no replay forward); two host
+                # draws, bit-matching the rollout-then-replay path
+                il_rng = self._next_rng()
+                rl_rng = self._next_rng()
                 self._ensure_device_rollout_fn()
                 ins, tkeys = self._device_rollout_args()
                 rins = {k: ins[k] for k in ("txt_ids", "txt_mask",
@@ -669,6 +674,8 @@ class ReverieAgent(HAMTAgent):
                     il_ep, il_rng, tcfg.ml_weight, rins, rl_rng,
                     self._feat_table, self._nav_tables, self._obj_tables)
             else:
+                il_rng = self._next_rng()
+                rl_rng = self._next_rng()
                 if use_device:
                     # object-grounded sampling rollout as ONE device
                     # scan (rollout.py task='reverie'): per-step object

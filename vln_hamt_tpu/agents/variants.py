@@ -113,7 +113,7 @@ class R2RBackAgent(HAMTAgent):
         pred["midstop"] = st["midstop"]
 
     def _decode_device_extras(self, pred, env, i, node, view, actions,
-                              mask, extras) -> None:
+                              mask, extras_np) -> None:
         """Device-scan eval: the FIRST live STOP is the midstop
         (agent_r2rback.py:194-198); None when the episode never
         stopped (matches the packed evaluator's slot result)."""

@@ -106,6 +106,60 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def process_feed_rows(mesh: Mesh, global_batch: int) -> Tuple[int, int]:
+    """The [start, stop) global-batch rows this process OWNS under a
+    ``P('data')`` sharding of ``global_batch`` rows.
+
+    With host-sharded feeding each process assembles only these rows
+    from its own env shard (the scalable multi-host layout — host env
+    work divides across processes instead of replicating; the
+    reference's per-rank DDP feeding, ``cvdn/main.py:42-49``). Requires
+    this process's 'data'-axis blocks to be contiguous, which
+    ``make_mesh``'s process-major device grid guarantees.
+    """
+    sharding = NamedSharding(mesh, P("data"))
+    rows = sorted(
+        idx[0].indices(global_batch)
+        for dev, idx in sharding.devices_indices_map((global_batch,)).items()
+        if dev.process_index == jax.process_index()
+    )
+    start, stop = rows[0][0], rows[0][1]
+    for r in rows[1:]:
+        if r[0] == stop:  # merge adjacent blocks
+            stop = r[1]
+        elif r[0] < stop:  # same block seen via another model-axis dev
+            stop = max(stop, r[1])
+        else:
+            raise AssertionError(
+                f"non-contiguous data-axis rows for process "
+                f"{jax.process_index()}: {rows}")
+    return int(start), int(stop)
+
+
+def shard_batch_from_local(batch, mesh: Mesh, local_batch: int,
+                           global_batch: int):
+    """Assemble GLOBAL batch arrays from per-process LOCAL rows.
+
+    Each process passes leaves of leading dim ``local_batch`` (its own
+    :func:`process_feed_rows` rows); ``jax.make_array_from_process_local_data``
+    stitches them into one ``P('data')``-sharded global array without
+    any host replication or cross-host transfer of the data itself.
+    Leaves whose leading dim differs are replicated and must be
+    identical on every process (scalars, shared tables).
+    """
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] != local_batch:
+            return jax.device_put(x, repl)
+        return jax.make_array_from_process_local_data(
+            data, x, (global_batch,) + x.shape[1:])
+
+    return jax.tree.map(place, batch)
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

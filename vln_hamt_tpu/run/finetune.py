@@ -193,8 +193,34 @@ def build_real_dataset(cfg: HAMTConfig, args, valid_only: bool = False) -> Tuple
     import jax
 
     n_proc, rank = jax.process_count(), jax.process_index()
+    # two multi-host data layouts:
+    # - identical replicas (default): every process seeds identically,
+    #   assembles the SAME global batch (tests/mp_worker.py), and
+    #   evaluates the FULL val splits (predictions dedupe by instr_id).
+    #   Val envs must NOT be rank-sharded here: a per-rank shard would
+    #   feed incoherent global arrays (each host's devices hold only its
+    #   block of the data axis, but the host decodes all rows against
+    #   its own shard).
+    # - sharded feeding (--sharded_feed): each process's envs hold only
+    #   its 1/n_proc shard at batch/n_proc, and the agent stitches the
+    #   global batch via make_array_from_process_local_data
+    #   (agent.enable_host_sharded_feed) — the reference's per-rank DDP
+    #   feeding (cvdn/main.py:42-49), host env work scales with
+    #   processes.
+    sharded = bool(getattr(args, "sharded_feed", False)) and n_proc > 1
+    if sharded:
+        assert cfg.train.batch_size % n_proc == 0, (
+            f"--sharded_feed needs batch {cfg.train.batch_size} "
+            f"divisible by {n_proc} processes")
+    local_bs = cfg.train.batch_size // n_proc if sharded \
+        else cfg.train.batch_size
+    # valid_only builds a MESH-LESS agent: each process then evaluates
+    # its own val shard independently on its own devices (coherent
+    # without global arrays) — the reference's rank-sharded validation
+    # (r2r/env.py:96-104)
+    shard_val = sharded or (valid_only and n_proc > 1)
 
-    def make_env(data, name, shard):
+    def make_env(data, name):
         kwargs = dict(env_kwargs)
         if dataset == "reverie":
             # endpoint resampling trains only (main_navref.py:44,76);
@@ -202,33 +228,41 @@ def build_real_dataset(cfg: HAMTConfig, args, valid_only: bool = False) -> Tuple
             kwargs["multi_endpoints"] = (cfg.env.multi_endpoints
                                          and name in ("train", "aug"))
             kwargs["multi_startpoints"] = name == "aug"
+        is_train = name in ("train", "aug")
         return env_cls(
             graphs, feat_db, data, spec,
-            batch_size=cfg.train.batch_size,
+            batch_size=local_bs,
             max_instr_len=cfg.env.max_instr_len,
             max_action_len=cfg.env.max_action_len,
-            # every process seeds identically: the multi-host design
-            # replicates env state and gathers the SAME global batch on
-            # all hosts (tests/mp_worker.py) — unlike the reference's
-            # per-rank DDP shuffling (cvdn/main.py:42-49)
             seed=cfg.train.seed,
             name=name,
-            sel_data_idxs=(rank, n_proc) if (shard and n_proc > 1) else None,
-            reuse_episode_buffers=(name in ("train", "aug")),
+            sel_data_idxs=(rank, n_proc)
+            if (sharded or (shard_val and not is_train)) else None,
+            reuse_episode_buffers=is_train,
             **kwargs,
         )
 
     train_env = None
     if not valid_only:
-        train_env = make_env(instr["train"], "train", shard=False)
+        train_env = make_env(instr["train"], "train")
         if args.aug:
-            train_env = (train_env, make_env(instr["aug"], "aug", shard=False))
+            train_env = (train_env, make_env(instr["aug"], "aug"))
     val_envs = {
-        name: make_env(items, name, shard=True)
+        name: make_env(items, name)
         for name, items in instr.items()
         if name not in ("train", "aug")
     }
     return cfg, train_env, val_envs
+
+
+def _merge_preds(preds: List[dict]) -> List[dict]:
+    """Cross-process prediction merge, deduped by instr_id: disjoint
+    per-host shards (sharded feeding) pass through; identical replicas
+    (every host evaluated the full split) collapse to one copy."""
+    merged = {}
+    for p in (q for shard in host_allgather(preds) for q in shard):
+        merged.setdefault(p["instr_id"], p)
+    return list(merged.values())
 
 
 def _apply_weight_init(agent, init_pretrain: Optional[str],
@@ -270,6 +304,7 @@ def train(
     merged_sample: bool = True,
     init_pretrain: Optional[str] = None,
     init_ref_ckpt: Optional[str] = None,
+    sharded_feed: bool = False,
 ) -> Dict[str, float]:
     """The main train/validate loop (main.py:86-222)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -310,6 +345,12 @@ def train(
         mesh = make_mesh(num_data=cfg.train.num_data_shards,
                          num_model=cfg.train.model_shards)
         agent.enable_mesh(mesh)
+    import jax
+
+    if sharded_feed and jax.process_count() > 1:
+        # per-host sharded feeding: this process's envs hold only its
+        # shard; the agent stitches the global batch
+        agent.enable_host_sharded_feed()
     if resume_file:
         agent.load(resume_file, resume_optimizer=cfg.train.resume_optimizer)
     # config dump (reference save_training_meta, utils/save.py:12-20)
@@ -319,8 +360,7 @@ def train(
     if eval_first:  # sanity eval before training (main.py:112-128)
         for name, env in val_envs.items():
             preds = agent.eval_split_fast(env)
-            metrics, _ = env.eval_metrics(
-                [p for shard in host_allgather(preds) for p in shard])
+            metrics, _ = env.eval_metrics(_merge_preds(preds))
             write_record(record_file, f"eval_first {name}: {metrics}")
 
     iters = iters or cfg.train.iters
@@ -348,7 +388,7 @@ def train(
         for name, env in val_envs.items():
             with logger.timer(f"eval_{name}"):
                 preds = agent.eval_split_fast(env, no_cand_backtrack)
-                merged = [p for shard in host_allgather(preds) for p in shard]
+                merged = _merge_preds(preds)
                 metrics, _ = env.eval_metrics(merged)
             logger.log(step, metrics, prefix=f"{name}/")
             write_record(record_file, f"iter {step} {name}: " + ", ".join(
@@ -389,7 +429,7 @@ def valid(cfg: HAMTConfig, ckpt: Optional[str], val_envs: Dict[str, object],
     for name, env in val_envs.items():
         agent.env = env
         preds = agent.eval_split_fast(env, no_cand_backtrack)
-        merged = [p for shard in host_allgather(preds) for p in shard]
+        merged = _merge_preds(preds)
         if "test" not in name:  # test splits have no GT (main.py:258-262)
             metrics, _ = env.eval_metrics(merged)
             results[name] = metrics
@@ -465,6 +505,15 @@ def parse_args(argv=None):
                    help="'sample' feedback as the fused two-scan update "
                         "(bit-comparable to the host rollout) instead of "
                         "the merged single-scan one (PARITY.md #18)")
+    p.add_argument("--sharded_feed", action="store_true",
+                   help="multi-process runs: each process's envs hold "
+                        "only its 1/n shard at batch/n and the agent "
+                        "stitches the global batch "
+                        "(make_array_from_process_local_data) — host "
+                        "env work scales with processes (the "
+                        "reference's per-rank DDP feeding, "
+                        "cvdn/main.py:42-49). Default: identical-seed "
+                        "env replicas on every process.")
     p.add_argument("--data_shards", type=int, default=None,
                    help="data-parallel mesh axis (batch sharded over "
                         "devices; replaces the reference's DDP ranks)")
@@ -544,7 +593,8 @@ def main(argv=None):
                  no_cand_backtrack=args.no_cand_backtrack,
                  merged_sample=not args.no_merged_sample,
                  init_pretrain=args.init_pretrain,
-                 init_ref_ckpt=args.init_ref_ckpt)
+                 init_ref_ckpt=args.init_ref_ckpt,
+                 sharded_feed=args.sharded_feed)
     print(json.dumps({"best": best}, default=float))
 
 
