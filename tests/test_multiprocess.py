@@ -113,6 +113,56 @@ def test_two_process_sharded_feed_matches_single(tmp_path):
     assert dist["traj"] == oracle["traj"]
 
 
+@pytest.mark.slow
+def test_two_process_pretrain_sharded_matches_single(tmp_path):
+    """Pretrain sharded feeding (PretrainTrainer host_sharded=True):
+    per-rank batchers assemble batch/n rows each; losses and the
+    full-split validation must match a single-process oracle that
+    concatenates the same per-rank draws (the reference's per-rank DDP
+    loaders, main_r2r.py:40-92)."""
+    dist = _run_worker("pretrain_mp_worker.py", nprocs=2,
+                       devices_per_proc=2, tmp_path=tmp_path)
+    assert dist["process_count"] == 2
+    oracle = _run_worker("pretrain_mp_worker.py", nprocs=1,
+                         devices_per_proc=4, tmp_path=tmp_path)
+    assert [t for t, _ in dist["losses"]] == [t for t, _ in oracle["losses"]]
+    np.testing.assert_allclose([l for _, l in dist["losses"]],
+                               [l for _, l in oracle["losses"]],
+                               rtol=2e-5, atol=1e-6)
+    for task in oracle["val"]:
+        for k in oracle["val"][task]:
+            np.testing.assert_allclose(dist["val"][task][k],
+                                       oracle["val"][task][k],
+                                       rtol=2e-5, atol=1e-6,
+                                       err_msg=(task, k))
+
+
+def _run_worker(worker: str, nprocs: int, devices_per_proc: int,
+                tmp_path) -> dict:
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}")
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = str(tmp_path / f"{worker}_{nprocs}.json")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_REPO, "tests", worker),
+             str(port), str(i), str(nprocs), out],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(nprocs)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=2700)
+        logs.append(stdout.decode(errors="replace"))
+        assert p.returncode == 0, "\n".join(logs)
+    with open(out) as f:
+        return json.load(f)
+
+
 def _run_finetune_cli(nprocs: int, devices_per_proc: int, tmp_path) -> dict:
     port = _free_port()
     env = dict(os.environ)

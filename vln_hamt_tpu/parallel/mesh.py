@@ -137,7 +137,8 @@ def process_feed_rows(mesh: Mesh, global_batch: int) -> Tuple[int, int]:
 
 
 def shard_batch_from_local(batch, mesh: Mesh, local_batch: int,
-                           global_batch: int):
+                           global_batch: int,
+                           axes: Optional[Dict[str, int]] = None):
     """Assemble GLOBAL batch arrays from per-process LOCAL rows.
 
     Each process passes leaves of leading dim ``local_batch`` (its own
@@ -146,18 +147,38 @@ def shard_batch_from_local(batch, mesh: Mesh, local_batch: int,
     any host replication or cross-host transfer of the data itself.
     Leaves whose leading dim differs are replicated and must be
     identical on every process (scalars, shared tables).
+
+    ``axes`` maps dict keys whose BATCH dimension is not axis 0 (e.g.
+    the ITM ``itm_shuffled_pos`` (K2, B, T) tables) to that axis; those
+    leaves are stitched along it instead of replicated.
     """
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
+    axes = axes or {}
 
-    def place(x):
+    def place_axis(x, axis):
+        spec = [None] * x.ndim
+        spec[axis] = "data"
+        gshape = list(x.shape)
+        gshape[axis] = global_batch
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(*spec)), x, tuple(gshape))
+
+    def place(key, x):
         x = np.asarray(x)
+        if key in axes:
+            return place_axis(x, axes[key])
         if x.ndim == 0 or x.shape[0] != local_batch:
             return jax.device_put(x, repl)
         return jax.make_array_from_process_local_data(
             data, x, (global_batch,) + x.shape[1:])
 
-    return jax.tree.map(place, batch)
+    if isinstance(batch, dict):
+        return {k: (place(k, v) if not isinstance(v, dict)
+                    else shard_batch_from_local(v, mesh, local_batch,
+                                                global_batch, axes))
+                for k, v in batch.items()}
+    return jax.tree.map(lambda x: place(None, x), batch)
 
 
 def init_distributed(

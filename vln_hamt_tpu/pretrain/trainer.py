@@ -84,12 +84,33 @@ class PretrainTrainer:
         aug_batcher: Optional[PretrainBatcher] = None,
         aug_ratio: float = 0.5,  # P(draw from aug stream) when given
         feat_table=None,  # (N, 36, D+P) resident table: index-mode H2D
+        host_sharded: bool = False,  # per-process example assembly
     ):
         self.cfg = cfg
         self.batcher = batcher
         self.aug_batcher = aug_batcher
         self.aug_ratio = aug_ratio
         self.batch_size = batch_size
+        # host-sharded feeding (the reference's per-rank DDP loaders,
+        # main_r2r.py:40-92 + DistributedSampler): each process's
+        # batcher draws only batch/n_proc examples and
+        # make_array_from_process_local_data stitches the global batch.
+        # ITM in-batch negatives stay within the process's shard (the
+        # per-GPU semantics); give each process a differently-seeded
+        # batcher for sample diversity.
+        self.host_sharded = host_sharded and jax.process_count() > 1
+        if self.host_sharded:
+            assert mesh is not None, "host_sharded needs a mesh"
+            nproc = jax.process_count()
+            assert batch_size % nproc == 0, (batch_size, nproc)
+            from ..parallel.mesh import process_feed_rows
+
+            self._local_bs = batch_size // nproc
+            self._row0, row1 = process_feed_rows(mesh, batch_size)
+            assert row1 - self._row0 == self._local_bs
+        else:
+            self._local_bs = batch_size
+            self._row0 = 0
         self.scheduler = TaskScheduler(tasks, mix_ratio, seed)
         self.mesh = mesh
         # index-mode feature transport (model.py:expand_index_batch):
@@ -228,11 +249,11 @@ class PretrainTrainer:
 
     def _build_batch(self, step: int):
         task = self.scheduler.sample(step)
-        if task == "itm" and self.batch_size < 2:
+        if task == "itm" and self._local_bs < 2:
             # in-batch ITM negatives need >= 2 items; the reference skips
             # these batches (main_r2r_image.py:239-246) — we resample
             task = next(t for t in self.scheduler.tasks if t != "itm")
-        return task, self._pick_batcher(step).batch(task, self.batch_size)
+        return task, self._pick_batcher(step).batch(task, self._local_bs)
 
     def train_step(self, sync: bool = True) -> Tuple[str, Any, Dict[str, Any]]:
         if self._next_batch is None:
@@ -241,7 +262,17 @@ class PretrainTrainer:
         task, batch = self._next_batch.result()
         self._next_batch = self._pool.submit(self._build_batch,
                                              self.state.step + 1)
-        if self.mesh is not None:
+        if self.host_sharded:
+            from ..parallel.mesh import shard_batch_from_local
+
+            if "itm_neg_idxs" in batch:
+                # local in-batch negative indices -> global batch rows
+                # (the model gathers pos_hist[neg_idxs], model.py:287)
+                batch["itm_neg_idxs"] = batch["itm_neg_idxs"] + self._row0
+            batch = shard_batch_from_local(
+                batch, self.mesh, self._local_bs, self.batch_size,
+                axes={"itm_shuffled_pos": 1})
+        elif self.mesh is not None:
             from ..parallel.mesh import shard_batch
 
             batch = shard_batch(batch, self.mesh,
@@ -304,7 +335,18 @@ class PretrainTrainer:
                         if full else None)
                     batch = val_batcher.batch(task, self.batch_size,
                                               refs=refs)
-                    batch = jax.tree.map(jnp.asarray, batch)
+                    if self.mesh is not None:
+                        # validation is identical-replica on every host
+                        # (full split, deterministic refs/rng) — global
+                        # P('data') arrays are coherent, and a mesh-less
+                        # placement would feed host-local arrays to the
+                        # mesh-sharded params under jax.process_count()>1
+                        from ..parallel.mesh import shard_batch
+
+                        batch = shard_batch(batch, self.mesh,
+                                            batch_size=self.batch_size)
+                    else:
+                        batch = jax.tree.map(jnp.asarray, batch)
                     loss, aux = self._eval(self.params, batch, task,
                                            self._feat_table)
                     aux = {k: float(np.asarray(v)) for k, v in aux.items()}

@@ -95,6 +95,13 @@ def parse_args(argv=None):
                    help="mesh 'data' axis (batch sharding)")
     p.add_argument("--model_shards", type=int, default=1,
                    help="mesh 'model' axis (tensor parallel)")
+    p.add_argument("--sharded_feed", action="store_true",
+                   help="multi-process runs: each process's batcher "
+                        "assembles only batch/n_proc examples (seeded "
+                        "per rank) and the trainer stitches the global "
+                        "batch — the reference's per-rank DDP loaders "
+                        "(main_r2r.py:40-92); host batch-assembly work "
+                        "scales with processes")
     p.add_argument("--optim", default="adamw",
                    choices=["adamw", "adam", "radam", "ralamb",
                             "lookahead", "rangerlars"],
@@ -178,7 +185,14 @@ def main(argv=None):
         train_ds.set_feat_offsets(offsets)
         val_ds.set_feat_offsets(offsets)
 
-    batcher = PretrainBatcher(train_ds, seed=args.seed)
+    import jax as _jax
+
+    # per-rank batcher seeds under sharded feeding: each process draws
+    # DIFFERENT training examples (DDP sample diversity); the val
+    # batcher stays same-seeded (identical-replica validation)
+    rank_off = (_jax.process_index()
+                if (args.sharded_feed and _jax.process_count() > 1) else 0)
+    batcher = PretrainBatcher(train_ds, seed=args.seed + 1000 * rank_off)
     val_batcher = PretrainBatcher(val_ds, seed=args.seed + 1)
     mesh = None
     if args.data_shards * args.model_shards > 1:
@@ -192,6 +206,7 @@ def main(argv=None):
         warmup_steps=args.warmup_steps, total_steps=args.num_steps,
         grad_accum=args.grad_accum, seed=args.seed, mesh=mesh,
         optim=args.optim, feat_table=feat_table,
+        host_sharded=args.sharded_feed,
     )
     # initialization pathways (main_r2r.py:131-148): HF BERT/XLM-R
     # trunk init, a prior checkpoint, or resume
