@@ -184,6 +184,26 @@ def main() -> None:
     gathered = sorted(int(g["pid"]) for g in host_allgather({"pid": pid}))
     reduced = reduce_dict_mean({"x": float(pid)})["x"]
 
+    ckpt_roundtrip = None
+    if scenario == "r2r":
+        # cross-process-TP checkpointing: model-axis shards span
+        # processes here, so save must all-gather before pickling
+        # (rank-0 write) and load must re-place on the mesh
+        import os
+
+        ckpt = out_path + ".ckpt"
+        agent.save(ckpt)
+        if nprocs > 1:  # the write is rank-0 gated
+            assert os.path.exists(ckpt) == is_default_process()
+        if nprocs > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ckpt_written")
+        # EVERY process loads (placing onto a multi-host mesh is a
+        # collective device_put); the checkpoint file is on shared tmp
+        step = agent.load(ckpt)
+        ckpt_roundtrip = int(step) == int(agent.state.step)
+
     if is_default_process():
         with open(out_path, "w") as f:
             json.dump({
@@ -192,6 +212,7 @@ def main() -> None:
                 "obj_preds": obj_preds,
                 "gathered": gathered,
                 "reduced": reduced,
+                "ckpt_roundtrip": ckpt_roundtrip,
                 "process_count": jax.process_count(),
             }, f)
     print(f"worker {pid}/{nprocs} done", flush=True)

@@ -66,6 +66,8 @@ def test_two_process_training_matches_single(tmp_path):
     # host-object collectives saw both processes
     assert dist["gathered"] == [0, 1]
     assert dist["reduced"] == pytest.approx(0.5)
+    # cross-process-TP checkpoint: gather-before-pickle + mesh re-place
+    assert dist["ckpt_roundtrip"] is True
 
     oracle = _run(nprocs=1, devices_per_proc=4, tmp_path=tmp_path)
     assert oracle["process_count"] == 1

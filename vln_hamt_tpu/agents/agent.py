@@ -1269,18 +1269,42 @@ class HAMTAgent:
                                 int(blob["step"]))
         return int(blob["step"])
 
+    def _gather_for_save(self, tree):
+        """Make every leaf host-materializable: under a multi-process
+        mesh, TP-sharded leaves span non-addressable devices and
+        np.asarray would raise — all-gather them to a replicated layout
+        first (every process participates in the collective)."""
+        if self.mesh is None or jax.process_count() == 1:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+
+        def gather(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return jax.jit(lambda a: a, out_shardings=repl)(x)
+            return x
+
+        return jax.tree.map(gather, tree)
+
     def save(self, path: str) -> None:
         import flax.serialization as fser
 
+        st = self.state
         blob = {
-            "step": self.state.step,
-            "params": fser.to_state_dict(self.state.params),
-            "cparams": fser.to_state_dict(self.state.cparams),
-            "opt_state": fser.to_state_dict(self.state.opt_state),
-            "copt_state": fser.to_state_dict(self.state.copt_state),
+            "step": st.step,
+            "params": fser.to_state_dict(self._gather_for_save(st.params)),
+            "cparams": fser.to_state_dict(self._gather_for_save(st.cparams)),
+            "opt_state": fser.to_state_dict(
+                self._gather_for_save(st.opt_state)),
+            "copt_state": fser.to_state_dict(
+                self._gather_for_save(st.copt_state)),
         }
-        with open(path, "wb") as f:
-            pickle.dump(blob, f)
+        # rank-0 write (every process participated in the gathers above;
+        # on a shared filesystem concurrent writers would clobber)
+        if jax.process_index() == 0:
+            with open(path, "wb") as f:
+                pickle.dump(blob, f)
 
     # --------------------------------------------- weight initialization
     def _install_params(self, partial, critic_partial=None) -> List[str]:

@@ -222,9 +222,24 @@ class PretrainTrainer:
 
         import flax.serialization as fser
 
-        with open(path, "wb") as f:
-            pickle.dump({"step": self.state.step,
-                         "params": fser.to_state_dict(self.params)}, f)
+        params = self.params
+        if self.mesh is not None and jax.process_count() > 1:
+            # TP-sharded leaves span non-addressable devices under a
+            # multi-process mesh: all-gather to a replicated layout
+            # (every process participates), then rank-0 writes
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            params = jax.tree.map(
+                lambda x: (jax.jit(lambda a: a, out_shardings=repl)(x)
+                           if isinstance(x, jax.Array)
+                           and not x.is_fully_addressable else x),
+                params)
+        blob = {"step": self.state.step,
+                "params": fser.to_state_dict(params)}
+        if jax.process_index() == 0:
+            with open(path, "wb") as f:
+                pickle.dump(blob, f)
 
     def resume(self, path: str) -> int:
         """Resume model weights from a trainer checkpoint (the
