@@ -371,6 +371,22 @@ def test_orbax_checkpoint_roundtrip(setup, tmp_path):
     np.testing.assert_array_equal(before, restored)
 
 
+def test_orbax_async_checkpoint(setup, tmp_path):
+    """Async orbax save: IO overlaps compute; wait_for_checkpoints
+    commits; the restored tree matches the values AT save time (the
+    snapshot must not see the post-save perturbation)."""
+    cfg, env, agent = setup
+    path = str(tmp_path / "orbax_async")
+    before = np.asarray(jax.tree.leaves(agent.state.params)[0]).copy()
+    agent.save_orbax(path, async_=True)
+    # mutate immediately after the async save is dispatched
+    agent.state.params = jax.tree.map(lambda x: x + 2.0, agent.state.params)
+    agent.wait_for_checkpoints()
+    agent.load_orbax(path)
+    restored = np.asarray(jax.tree.leaves(agent.state.params)[0])
+    np.testing.assert_array_equal(before, restored)
+
+
 def test_incremental_ndtw_matches_full(tiny_world):
     from vln_hamt_tpu.eval.metrics import IncrementalNDTW, dtw_scores
 

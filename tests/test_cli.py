@@ -193,3 +193,43 @@ def test_image_pretrain_cli_device_bench(tmp_path, capsys):
     for task in ("mlm", "sap"):
         assert rec["ex_per_sec_compute_bound"][task] > 0
     assert not os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+
+@pytest.mark.slow
+def test_finetune_cli_variant_presets(tmp_path, capsys):
+    """The r4r and rxr presets run the full synthetic pipeline end to
+    end — rxr exercises the XLM-R path (250k vocab, type_vocab_size 1,
+    no_lang_ca; scripts/run_rxr.sh) through training + device eval +
+    model selection."""
+    from vln_hamt_tpu.run.finetune import main
+
+    for task in ("r4r", "rxr"):
+        out = str(tmp_path / task)
+        main(["--task", task, "--synthetic", "--tiny", "--iters", "2",
+              "--log_every", "2", "--output_dir", out,
+              "--feedback", "teacher"])
+        printed = capsys.readouterr().out
+        best = json.loads(printed.strip().splitlines()[-1])["best"]
+        assert np.isfinite(best["score"]), task
+        assert os.path.exists(os.path.join(out, "latest.pkl"))
+
+
+@pytest.mark.slow
+def test_finetune_cli_orbax_checkpoints(tmp_path, capsys):
+    """--orbax_ckpt writes async directory checkpoints; --resume_file
+    auto-detects the format for valid-only evaluation."""
+    from vln_hamt_tpu.run.finetune import main
+
+    out = str(tmp_path / "orun")
+    main(["--task", "r2r", "--synthetic", "--tiny", "--iters", "4",
+          "--log_every", "2", "--output_dir", out, "--feedback", "teacher",
+          "--orbax_ckpt"])
+    capsys.readouterr()
+    latest = os.path.join(out, "latest")
+    assert os.path.isdir(latest)
+    assert os.path.isdir(os.path.join(out, "best_val_unseen"))
+    main(["--task", "r2r", "--synthetic", "--tiny", "--valid_only",
+          "--resume_file", latest, "--output_dir", str(tmp_path / "oval")])
+    printed = capsys.readouterr().out
+    results = json.loads(printed.strip().splitlines()[-1])["valid"]
+    assert np.isfinite(results["val_unseen"]["sr"])

@@ -1234,22 +1234,37 @@ class HAMTAgent:
         return list(results.values())
 
     # ------------------------------------------------------ checkpoints
-    def save_orbax(self, path: str) -> None:
+    def save_orbax(self, path: str, async_: bool = False) -> None:
         """Orbax checkpoint (durable, partially-restorable, the
         production path; the pickle format below mirrors the
-        reference's single-file torch checkpoints)."""
+        reference's single-file torch checkpoints).
+
+        ``async_=True`` commits the save on a background thread (orbax
+        AsyncCheckpointer): the device arrays are snapshotted
+        synchronously, then serialization/IO overlap training — the
+        standard multi-host TPU pattern. The previous async save is
+        awaited first (orbax requirement); call
+        :meth:`wait_for_checkpoints` before reading the files."""
         import orbax.checkpoint as ocp
 
+        tree = {
+            "params": self.state.params,
+            "cparams": self.state.cparams,
+            "step": self.state.step,
+        }
+        if async_:
+            if getattr(self, "_async_ckptr", None) is None:
+                self._async_ckptr = ocp.AsyncCheckpointer(
+                    ocp.PyTreeCheckpointHandler())
+            self._async_ckptr.save(os.path.abspath(path), tree, force=True)
+            return
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(
-            os.path.abspath(path),
-            {
-                "params": self.state.params,
-                "cparams": self.state.cparams,
-                "step": self.state.step,
-            },
-            force=True,
-        )
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+    def wait_for_checkpoints(self) -> None:
+        """Block until any in-flight async orbax save has committed."""
+        if getattr(self, "_async_ckptr", None) is not None:
+            self._async_ckptr.wait_until_finished()
 
     def load_orbax(self, path: str) -> int:
         import orbax.checkpoint as ocp
@@ -1364,6 +1379,8 @@ class HAMTAgent:
     def load(self, path: str, resume_optimizer: bool = False) -> int:
         import flax.serialization as fser
 
+        if os.path.isdir(path):  # orbax checkpoints are directories
+            return self.load_orbax(path)
         with open(path, "rb") as f:
             blob = pickle.load(f)
         st = self.state

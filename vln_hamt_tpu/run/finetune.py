@@ -305,6 +305,7 @@ def train(
     init_pretrain: Optional[str] = None,
     init_ref_ckpt: Optional[str] = None,
     sharded_feed: bool = False,
+    orbax_ckpt: bool = False,
 ) -> Dict[str, float]:
     """The main train/validate loop (main.py:86-222)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -367,6 +368,15 @@ def train(
     log_every = log_every or cfg.train.log_every
     best = {"score": -np.inf, "iter": 0}
 
+    def save_ckpt(stem: str) -> None:
+        # --orbax_ckpt: durable directory checkpoints committed on a
+        # background thread (IO overlaps the next train interval);
+        # default: the reference-style single-file pickle
+        if orbax_ckpt:
+            agent.save_orbax(stem, async_=True)
+        else:
+            agent.save(stem + ".pkl")
+
     step = 0
     while step < iters:
         interval = min(log_every, iters - step)
@@ -397,9 +407,10 @@ def train(
                 score = selection_score(dataset, metrics)
                 if score > best["score"]:
                     best = {"score": score, "iter": step, **metrics}
-                    agent.save(os.path.join(output_dir, "best_val_unseen.pkl"))
-        agent.save(os.path.join(output_dir, "latest.pkl"))
+                    save_ckpt(os.path.join(output_dir, "best_val_unseen"))
+        save_ckpt(os.path.join(output_dir, "latest"))
         logger.log_timers(step)
+    agent.wait_for_checkpoints()  # commit any in-flight async saves
     return best
 
 
@@ -505,6 +516,10 @@ def parse_args(argv=None):
                    help="'sample' feedback as the fused two-scan update "
                         "(bit-comparable to the host rollout) instead of "
                         "the merged single-scan one (PARITY.md #18)")
+    p.add_argument("--orbax_ckpt", action="store_true",
+                   help="write orbax directory checkpoints (async, "
+                        "multi-host-native) instead of pickles; "
+                        "--resume_file auto-detects the format")
     p.add_argument("--sharded_feed", action="store_true",
                    help="multi-process runs: each process's envs hold "
                         "only its 1/n shard at batch/n and the agent "
@@ -594,7 +609,8 @@ def main(argv=None):
                  merged_sample=not args.no_merged_sample,
                  init_pretrain=args.init_pretrain,
                  init_ref_ckpt=args.init_ref_ckpt,
-                 sharded_feed=args.sharded_feed)
+                 sharded_feed=args.sharded_feed,
+                 orbax_ckpt=args.orbax_ckpt)
     print(json.dumps({"best": best}, default=float))
 
 
