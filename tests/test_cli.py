@@ -176,6 +176,7 @@ def test_image_pretrain_cli_synthetic(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "metrics.jsonl"))
 
 
+@pytest.mark.slow
 def test_image_pretrain_cli_device_bench(tmp_path, capsys):
     """--device_bench: compute-bound ex/s of the ViT-in-the-loop update
     with the batch resident in device memory (the featurizer
