@@ -82,6 +82,10 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--data_shards", type=int, default=1)
+    p.add_argument("--sharded_feed", action="store_true",
+                   help="multi-process runs: per-rank batchers at "
+                        "batch/n_proc, stitched into the global batch "
+                        "(run/pretrain.py --sharded_feed twin)")
     p.add_argument("--model_shards", type=int, default=1)
     p.add_argument("--device_bench", type=int, default=0,
                    help="measure N ViT-in-the-loop update iterations "
@@ -133,7 +137,12 @@ def main(argv=None):
                  else NpyDirPanoImageStore(args.npy_dir,
                                            tuple(args.image_size)))
 
-    batcher = ImagePretrainBatcher(train_ds, store, seed=args.seed)
+    import jax as _jax
+
+    rank_off = (_jax.process_index()
+                if (args.sharded_feed and _jax.process_count() > 1) else 0)
+    batcher = ImagePretrainBatcher(train_ds, store,
+                                   seed=args.seed + 1000 * rank_off)
     val_batcher = ImagePretrainBatcher(val_ds, store, seed=args.seed + 1)
     aug_batcher = None
     if args.aug_traj_files:
@@ -173,7 +182,7 @@ def main(argv=None):
         warmup_steps=args.warmup_steps, total_steps=args.num_steps,
         grad_accum=args.grad_accum, seed=args.seed, mesh=mesh,
         optim=args.optim, model=model, params=params,
-        aug_batcher=aug_batcher,
+        aug_batcher=aug_batcher, host_sharded=args.sharded_feed,
     )
     if args.init_ckpt:
         import pickle
