@@ -234,3 +234,21 @@ def test_finetune_cli_orbax_checkpoints(tmp_path, capsys):
     printed = capsys.readouterr().out
     results = json.loads(printed.strip().splitlines()[-1])["valid"]
     assert np.isfinite(results["val_unseen"]["sr"])
+
+
+@pytest.mark.slow
+def test_finetune_cli_task_variants(tmp_path, capsys):
+    """cvdn, r2r_back and reverie run the full synthetic CLI pipeline
+    (train -> device eval -> model selection -> checkpoints) — the
+    reference's three task-specific main.py twins."""
+    from vln_hamt_tpu.run.finetune import main
+
+    for task in ("cvdn", "r2r_back", "reverie"):
+        out = str(tmp_path / task)
+        main(["--task", task, "--synthetic", "--tiny", "--iters", "2",
+              "--log_every", "2", "--output_dir", out,
+              "--feedback", "teacher"])
+        printed = capsys.readouterr().out
+        best = json.loads(printed.strip().splitlines()[-1])["best"]
+        assert np.isfinite(best["score"]), task
+        assert os.path.exists(os.path.join(out, "latest.pkl"))
