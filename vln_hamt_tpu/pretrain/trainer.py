@@ -370,8 +370,10 @@ class PretrainTrainer:
                     for k, v in aux.items():
                         sums[k] += v * w
                     wsum += w
-                out[task] = reduce_dict_mean(
-                    {k: v / wsum for k, v in sums.items()})
+                vals = {k: v / wsum for k, v in sums.items()}
+                if "n" in vals:
+                    vals["n"] = wsum  # total examples, not a mean of n
+                out[task] = reduce_dict_mean(vals)
             finally:
                 val_batcher.rng = saved_rng
         return out
