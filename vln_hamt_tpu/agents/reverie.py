@@ -481,6 +481,11 @@ class ReverieAgent(HAMTAgent):
     # --------------------------------------------------------- rollout
     def interactive_rollout(self, mode, base_rng, deterministic,
                             record_for_replay=False, no_cand_backtrack=False):
+        # same contract as the base host-loop rollout: per-process
+        # control flow requires identical env replicas
+        assert not self.host_sharded_feed, (
+            "host-loop rollout needs identical-replica envs; sharded "
+            "feeding supports the device-scan paths only")
         env = self.env
         stop = self.ref_stop
         use_table = getattr(env, "feat_offsets", None) is not None
