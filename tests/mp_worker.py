@@ -83,7 +83,7 @@ def main() -> None:
             "max_action_steps": 20,
             "max_position_embeddings": 64,
             "feat_dropout": 0.1,
-            **({"obj_feat_size": 24} if scenario == "reverie" else {}),
+            **({"obj_feat_size": 24} if "reverie" in scenario else {}),
         },
         env={
             "max_action_len": 8,
@@ -108,30 +108,46 @@ def main() -> None:
             obj_db=obj_db, obj2viewpoint=obj2vp, max_objects=4,
             obj_feat_size=24, **env_kwargs)
         agent = ReverieAgent(cfg, env, seed=0)
-    elif scenario == "sharded" and jax.process_count() > 1:
-        # this host's TRAIN item stream = its own global-batch rows of
-        # the oracle env's exact minibatch sequence (same data + seed
-        # ⇒ the distributed run must match the oracle loss-for-loss)
-        b_g = cfg.train.batch_size
-        b_l = b_g // nprocs
-        # teacher ×2 = 2 minibatches; each merged 'sample' iteration
-        # consumes TWO (IL teacher episode + rollout reset — the
-        # reference's two per-iteration rollout resets) ⇒ 6 total
-        n_stream_batches = 6
-        stream = R2RNavEnv(world.graphs, world.feat_db, world.instr_data,
-                           spec, **env_kwargs)
-        seq = []
-        for _ in range(n_stream_batches):
-            stream._next_minibatch()
-            seq.extend(stream.batch[pid * b_l:(pid + 1) * b_l])
-        env = R2RNavEnv(world.graphs, world.feat_db, world.instr_data,
-                        spec, **{**env_kwargs, "batch_size": b_l})
-        env.data, env.ix = seq, 0
-        # disjoint eval shards: this host evaluates items [pid*4, ...)
-        eval_env = R2RNavEnv(world.graphs, world.feat_db,
-                             world.instr_data[pid * 4:(pid + 1) * 4],
-                             spec, **{**env_kwargs, "batch_size": b_l})
-        agent = HAMTAgent(cfg, env, seed=0)
+    elif scenario in ("sharded", "sharded_reverie"):
+        # per-host sharded feeding, optionally on the object-grounded
+        # task (dual-CE merged update, object tables, predObjId decode)
+        env_cls_, agent_cls, extra = R2RNavEnv, HAMTAgent, {}
+        if scenario == "sharded_reverie":
+            obj_db, obj2vp = add_synthetic_objects(world, obj_feat_size=24,
+                                                   seed=1)
+            env_cls_, agent_cls = ReverieNavEnv, ReverieAgent
+            extra = dict(obj_db=obj_db, obj2viewpoint=obj2vp,
+                         max_objects=4, obj_feat_size=24)
+        if jax.process_count() > 1:
+            # this host's TRAIN item stream = its own global-batch rows
+            # of the oracle env's exact minibatch sequence (same data +
+            # seed ⇒ the distributed run matches loss-for-loss)
+            b_g = cfg.train.batch_size
+            b_l = b_g // nprocs
+            # teacher ×2 = 2 minibatches; each merged 'sample'
+            # iteration consumes TWO (IL teacher episode + rollout
+            # reset — the reference's two per-iteration resets) ⇒ 6
+            n_stream_batches = 6
+            stream = env_cls_(world.graphs, world.feat_db,
+                              world.instr_data, spec,
+                              **env_kwargs, **extra)
+            seq = []
+            for _ in range(n_stream_batches):
+                stream._next_minibatch()
+                seq.extend(stream.batch[pid * b_l:(pid + 1) * b_l])
+            env = env_cls_(world.graphs, world.feat_db, world.instr_data,
+                           spec, **{**env_kwargs, "batch_size": b_l},
+                           **extra)
+            env.data, env.ix = seq, 0
+            # disjoint eval shards: this host evaluates [pid*4, ...)
+            eval_env = env_cls_(world.graphs, world.feat_db,
+                                world.instr_data[pid * 4:(pid + 1) * 4],
+                                spec, **{**env_kwargs, "batch_size": b_l},
+                                **extra)
+        else:  # oracle: the full global batch on one process
+            env = env_cls_(world.graphs, world.feat_db, world.instr_data,
+                           spec, **env_kwargs, **extra)
+        agent = agent_cls(cfg, env, seed=0)
     else:
         env = R2RNavEnv(world.graphs, world.feat_db, world.instr_data,
                         spec, **env_kwargs)
@@ -140,7 +156,7 @@ def main() -> None:
     # data sharded ACROSS processes, tensor-parallel WITHIN each
     # process (make_mesh lays devices out process-major)
     agent.enable_mesh(make_mesh(num_data=2, num_model=2))
-    if scenario == "sharded" and jax.process_count() > 1:
+    if scenario.startswith("sharded") and jax.process_count() > 1:
         agent.enable_host_sharded_feed()
         eval_env.feat_offsets = env.feat_offsets
 
@@ -150,7 +166,7 @@ def main() -> None:
         agent.merged_sample_update = True
         for _ in range(2):
             losses.append(float(agent.train_iteration("sample")["loss"]))
-    elif scenario == "sharded":
+    elif scenario.startswith("sharded"):
         for _ in range(2):
             losses.append(float(agent.train_iteration("teacher")["loss"]))
         agent.merged_sample_update = True
@@ -168,7 +184,7 @@ def main() -> None:
             # merged single-scan update (the production CLI default)
             losses.append(float(agent.train_iteration("sample")["loss"]))
 
-    if scenario == "sharded":
+    if scenario.startswith("sharded"):
         # each host evaluates its own disjoint shard with the
         # device-scan evaluator; merge across processes
         preds = [p for shard in host_allgather(
@@ -177,7 +193,7 @@ def main() -> None:
         preds = agent.eval_split(env)
     traj = {p["instr_id"]: [x[0] for x in p["trajectory"]] for p in preds}
     obj_preds = ({p["instr_id"]: p.get("predObjId") for p in preds}
-                 if scenario == "reverie" else None)
+                 if "reverie" in scenario else None)
 
     # host-side collective wrappers (the reference's pickled all_gather
     # / reduce_dict surface)

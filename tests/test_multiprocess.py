@@ -116,6 +116,23 @@ def test_two_process_sharded_feed_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_sharded_reverie_matches_single(tmp_path):
+    """Sharded feeding on the object-grounded task: per-host REVERIE
+    env shards (object tables, dual-CE merged updates) and per-host
+    device eval with predObjId decode must reproduce the full-batch
+    single-process oracle exactly."""
+    dist = _run(nprocs=2, devices_per_proc=2, tmp_path=tmp_path,
+                scenario="sharded_reverie")
+    assert dist["process_count"] == 2
+    oracle = _run(nprocs=1, devices_per_proc=4, tmp_path=tmp_path,
+                  scenario="sharded_reverie")
+    np.testing.assert_allclose(dist["losses"], oracle["losses"],
+                               rtol=2e-5, atol=1e-6)
+    assert dist["traj"] == oracle["traj"]
+    assert dist["obj_preds"] == oracle["obj_preds"]
+
+
+@pytest.mark.slow
 def test_two_process_pretrain_sharded_matches_single(tmp_path):
     """Pretrain sharded feeding (PretrainTrainer host_sharded=True):
     per-rank batchers assemble batch/n rows each; losses and the

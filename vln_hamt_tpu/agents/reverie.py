@@ -301,7 +301,9 @@ class ReverieAgent(HAMTAgent):
         pred["predObjId"] = st.get("predObjId", str(None))
 
     def _fetch_decode_extras(self, extras) -> dict:
-        return {"obj_pred": self._fetch(extras["obj_pred"])}
+        # (T, B) -> (B, T): decode extras must be BATCH-leading so the
+        # base class's sharded-feed row slice cuts the right axis
+        return {"obj_pred": self._fetch(extras["obj_pred"]).T}
 
     def _decode_device_extras(self, pred, env, i, node, view, actions,
                               mask, extras_np) -> None:
@@ -324,7 +326,7 @@ class ReverieAgent(HAMTAgent):
             (item["scan"], g.node_ids[int(node[i, stop_t]) - off]))
         ids = (list(entry["obj_ids"][: env.max_objects])
                if entry is not None else [])
-        idx = int(op[stop_t, i])
+        idx = int(op[i, stop_t])
         pred["predObjId"] = str(ids[idx]) if idx < len(ids) else str(None)
 
     def _fused_il_loss(self, params, cparams, il_ep, il_rng, weight,
