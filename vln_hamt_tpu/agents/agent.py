@@ -1165,7 +1165,11 @@ class HAMTAgent:
         return self._text_row_update
 
     def _fetch_decode_extras(self, extras) -> dict:
-        """Device extras -> the host arrays the per-item decode needs —
+        """Device extras -> the host arrays the per-item decode needs.
+
+        CONTRACT: every returned array must be BATCH-leading — the
+        sharded-feed path slices axis 0 down to this process's rows
+        (transpose (T, B) scan records here, like ReverieAgent does) —
         fetched ONCE per batch (variant agents override)."""
         return {}
 
