@@ -108,7 +108,7 @@ def main() -> None:
             obj_db=obj_db, obj2viewpoint=obj2vp, max_objects=4,
             obj_feat_size=24, **env_kwargs)
         agent = ReverieAgent(cfg, env, seed=0)
-    elif scenario in ("sharded", "sharded_reverie"):
+    elif scenario in ("sharded", "sharded_reverie", "sharded_uneven"):
         # per-host sharded feeding, optionally on the object-grounded
         # task (dual-CE merged update, object tables, predObjId decode)
         env_cls_, agent_cls, extra = R2RNavEnv, HAMTAgent, {}
@@ -139,9 +139,23 @@ def main() -> None:
                            spec, **{**env_kwargs, "batch_size": b_l},
                            **extra)
             env.data, env.ix = seq, 0
-            # disjoint eval shards: this host evaluates [pid*4, ...)
+            if scenario == "sharded_uneven":
+                # UNEQUAL disjoint eval shards (5 vs 3 items): the
+                # processes wrap after DIFFERENT batch counts
+                # (ceil(5/2)+1=3 vs ceil(3/2)+1=2 device-eval
+                # iterations), exercising eval_split_device's
+                # all-process loop guard — every process must keep
+                # issuing the global collectives until ALL shards have
+                # wrapped, else the early finisher deadlocks the rest
+                # (the last rank holds the len%n_proc remainder under
+                # --sharded_feed, env/r2r_env.py:75-80; round-3 ADVICE
+                # #1). Without the guard this test HANGS.
+                lo, hi = (0, 5) if pid == 0 else (5, 8)
+            else:
+                # equal disjoint eval shards: [pid*4, (pid+1)*4)
+                lo, hi = pid * 4, (pid + 1) * 4
             eval_env = env_cls_(world.graphs, world.feat_db,
-                                world.instr_data[pid * 4:(pid + 1) * 4],
+                                world.instr_data[lo:hi],
                                 spec, **{**env_kwargs, "batch_size": b_l},
                                 **extra)
         else:  # oracle: the full global batch on one process

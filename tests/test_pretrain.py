@@ -252,12 +252,14 @@ def test_full_split_validation_deterministic(pretrain_setup):
     for task in v1:
         for k in v1[task]:
             assert v1[task][k] == v2[task][k], (task, k)
-    # coverage: weighted example count spans the full split (with
-    # wrap-padding the weights can only exceed the split size)
-    assert v1["sap"]["n"] > 0
+    # coverage: the weighted example count is EXACT — wrap-padded
+    # duplicate rows in the final partial batch are zero-weighted via
+    # ex_valid, so per-example tasks report exactly the split size
     n_steps = len(ds.traj_step_refer)
     n_traj = len(ds.traj_refer)
     assert n_steps > 4 and n_traj > 4  # actually multiple batches
+    assert v1["sap"]["n"] == n_steps
+    assert v1["itm"]["n"] == n_traj
 
 
 def test_ordered_refs_cover_split(pretrain_setup):

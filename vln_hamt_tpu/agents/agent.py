@@ -1085,8 +1085,20 @@ class HAMTAgent:
             env.reset_epoch(shuffle=False)
             st = self.state
             results: Dict[str, dict] = {}
+            # Under sharded feeding, each iteration runs GLOBAL SPMD
+            # collectives (the rollout program + the _fetch all-gather),
+            # but shard sizes differ (the last rank absorbs the
+            # len%n_proc remainder, env/r2r_env.py:75-80) so processes
+            # wrap after different batch counts. Every process must
+            # therefore keep issuing the collectives until ALL shards
+            # have wrapped — a process that stopped at its LOCAL wrap
+            # would deadlock the rest. Extra post-wrap batches only
+            # produce duplicate instr_ids, which are discarded.
+            sharded = self.host_sharded_feed and jax.process_count() > 1
+            if sharded:
+                from ..parallel.mesh import host_allgather
             looped = False
-            while not looped:
+            while True:
                 ins, _ = self._device_rollout_args(include_rewards=False)
                 ep, extras = fn(
                     st.params, st.cparams, ins["txt_ids"], ins["txt_mask"],
@@ -1099,6 +1111,11 @@ class HAMTAgent:
                         looped = True
                     else:
                         results[tr["instr_id"]] = tr
+                if sharded:
+                    if all(g["l"] for g in host_allgather({"l": looped})):
+                        break
+                elif looped:
+                    break
         finally:
             self.env = old_env
         return list(results.values())
@@ -1248,13 +1265,21 @@ class HAMTAgent:
         synchronously, then serialization/IO overlap training — the
         standard multi-host TPU pattern. The previous async save is
         awaited first (orbax requirement); call
-        :meth:`wait_for_checkpoints` before reading the files."""
+        :meth:`wait_for_checkpoints` before reading the files.
+
+        Optimizer state is included (as a flax state dict, so the optax
+        namedtuple structure round-trips) so ``--resume_optimizer``
+        works for orbax checkpoints just like the pickle format
+        (reference: agent_cmt.py:607-645)."""
+        import flax.serialization as fser
         import orbax.checkpoint as ocp
 
         tree = {
             "params": self.state.params,
             "cparams": self.state.cparams,
             "step": self.state.step,
+            "opt_state": fser.to_state_dict(self.state.opt_state),
+            "copt_state": fser.to_state_dict(self.state.copt_state),
         }
         if async_:
             if getattr(self, "_async_ckptr", None) is None:
@@ -1270,21 +1295,38 @@ class HAMTAgent:
         if getattr(self, "_async_ckptr", None) is not None:
             self._async_ckptr.wait_until_finished()
 
-    def load_orbax(self, path: str) -> int:
+    def load_orbax(self, path: str, resume_optimizer: bool = False) -> int:
+        import flax.serialization as fser
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
         blob = ckptr.restore(os.path.abspath(path))
         st = self.state
-        if self.mesh is not None:
-            params = self._place_like(st.params, blob["params"])
-            cparams = self._place_like(st.cparams, blob["cparams"])
-        else:
-            params = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
-                                  st.params, blob["params"])
-            cparams = jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
-                                   st.cparams, blob["cparams"])
-        self.state = TrainState(params, cparams, st.opt_state, st.copt_state,
+
+        def restore(template, tree):
+            if self.mesh is not None:
+                return self._place_like(template, tree)
+            return jax.tree.map(lambda a, b: jnp.asarray(b, a.dtype),
+                                template, tree)
+
+        params = restore(st.params, blob["params"])
+        cparams = restore(st.cparams, blob["cparams"])
+        opt_state, copt_state = st.opt_state, st.copt_state
+        if resume_optimizer:
+            # older orbax saves (pre round-4) carried no optimizer state;
+            # fail loudly rather than silently resetting the LR schedule
+            if "opt_state" not in blob:
+                raise ValueError(
+                    f"resume_optimizer requested but {path} has no "
+                    "opt_state (saved before optimizer state was added "
+                    "to the orbax tree)")
+            opt_state = restore(
+                st.opt_state, fser.from_state_dict(st.opt_state,
+                                                   blob["opt_state"]))
+            copt_state = restore(
+                st.copt_state, fser.from_state_dict(st.copt_state,
+                                                    blob["copt_state"]))
+        self.state = TrainState(params, cparams, opt_state, copt_state,
                                 int(blob["step"]))
         return int(blob["step"])
 
@@ -1384,7 +1426,7 @@ class HAMTAgent:
         import flax.serialization as fser
 
         if os.path.isdir(path):  # orbax checkpoints are directories
-            return self.load_orbax(path)
+            return self.load_orbax(path, resume_optimizer=resume_optimizer)
         with open(path, "rb") as f:
             blob = pickle.load(f)
         st = self.state

@@ -149,6 +149,10 @@ class HAMTPretrain(nn.Module):
         logits = self.mlm_head(txt_out, self.hamt.embeddings.word_embeddings)
         labels = batch["txt_labels"]
         valid = labels != IGNORE_ID
+        if batch.get("ex_valid") is not None:
+            # full-split validation: wrap-padded duplicate rows carry
+            # ex_valid=False and must not count (trainer.validate)
+            valid = valid & batch["ex_valid"][:, None]
         tgt = jnp.where(valid, labels, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1).squeeze(-1)
@@ -172,6 +176,8 @@ class HAMTPretrain(nn.Module):
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         targets = batch["hist_img_probs"]  # (B, T, P) soft labels
         mask = batch["hist_mrc_masks"]  # (B, T) bool
+        if batch.get("ex_valid") is not None:
+            mask = mask & batch["ex_valid"][:, None]
         kl = jnp.sum(targets * (jnp.log(jnp.clip(targets, 1e-12)) - logp), -1)
         loss = jnp.sum(jnp.where(mask, kl, 0.0)) / jnp.maximum(mask.sum(), 1)
         acc = (
@@ -197,6 +203,12 @@ class HAMTPretrain(nn.Module):
         labels = batch["ob_action_viewindex"]
         logp = _masked_log_softmax(scores)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1).squeeze(-1)
+        if batch.get("ex_valid") is not None:
+            w = batch["ex_valid"].astype(jnp.float32)
+            wn = jnp.maximum(w.sum(), 1.0)
+            loss = jnp.sum(nll * w) / wn
+            acc = jnp.sum((jnp.argmax(scores, -1) == labels) * w) / wn
+            return loss, {"acc": acc, "n": w.sum()}
         loss = jnp.mean(nll)
         acc = jnp.mean(jnp.argmax(scores, -1) == labels)
         return loss, {"acc": acc, "n": labels.shape[0]}
@@ -218,6 +230,13 @@ class HAMTPretrain(nn.Module):
             [batch["ob_action_angles"], batch["ob_progress"][:, None]], axis=1
         )
         sq = (pred.astype(jnp.float32) - target) ** 2
+        if batch.get("ex_valid") is not None:
+            w = batch["ex_valid"].astype(jnp.float32)
+            wn = jnp.maximum(w.sum(), 1.0)
+            per_dim = jnp.sum(sq * w[:, None], axis=0) / wn
+            return jnp.mean(per_dim), {
+                "heading_loss": per_dim[0], "elevation_loss": per_dim[1],
+                "progress_loss": per_dim[2], "n": w.sum()}
         loss = jnp.mean(sq)
         # per-component validator metrics (main_r2r.py:398-428)
         per_dim = jnp.mean(sq, axis=0)
@@ -247,6 +266,13 @@ class HAMTPretrain(nn.Module):
         )
         pred = self.sprel_head(cat, deterministic=deterministic)
         sq = (pred.astype(jnp.float32) - batch["sp_targets"]) ** 2
+        if batch.get("ex_valid") is not None:
+            w = batch["ex_valid"].astype(jnp.float32)
+            wn = jnp.maximum(w.sum(), 1.0) * sq.shape[1]
+            per_dim = jnp.sum(sq * w[:, None, None], axis=(0, 1)) / wn
+            return jnp.mean(per_dim), {
+                "heading_loss": per_dim[0], "elevation_loss": per_dim[1],
+                "n": w.sum()}
         loss = jnp.mean(sq)
         # per-component validator metrics (main_r2r.py:430-453)
         per_dim = jnp.mean(sq, axis=(0, 1))
@@ -305,6 +331,15 @@ class HAMTPretrain(nn.Module):
         scores = self.itm_head(fused, deterministic=deterministic)
         scores = scores.reshape(n_cand, b).T.astype(jnp.float32)  # (B, n)
         logp = jax.nn.log_softmax(scores, axis=-1)
+        if batch.get("ex_valid") is not None:
+            # padded rows still serve as in-batch NEGATIVES (real
+            # content, just duplicated) — only their positive-row score
+            # is excluded from the metrics
+            w = batch["ex_valid"].astype(jnp.float32)
+            wn = jnp.maximum(w.sum(), 1.0)
+            loss = -jnp.sum(logp[:, 0] * w) / wn
+            acc = jnp.sum((jnp.argmax(scores, -1) == 0) * w) / wn
+            return loss, {"acc": acc, "n": w.sum()}
         loss = -jnp.mean(logp[:, 0])  # positive is always candidate 0
         acc = jnp.mean(jnp.argmax(scores, -1) == 0)
         return loss, {"acc": acc, "n": b}

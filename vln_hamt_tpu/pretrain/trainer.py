@@ -316,7 +316,9 @@ class PretrainTrainer:
         Default (``n_batches=None``): iterate the ENTIRE val split per
         task in a fixed order (the reference walks the whole
         val dataloader per validator), wrap-padding the final partial
-        batch so shapes stay static; batch metrics accumulate weighted
+        batch so shapes stay static — padded duplicate rows are
+        zero-weighted via ``ex_valid`` so each example counts exactly
+        once; batch metrics accumulate weighted
         by their example counts; the masking/negative-sampling rng is
         re-seeded per (task, seed) so outputs are bit-stable across
         runs and across validation points. ``n_batches=N`` keeps the
@@ -350,6 +352,15 @@ class PretrainTrainer:
                         if full else None)
                     batch = val_batcher.batch(task, self.batch_size,
                                               refs=refs)
+                    if full:
+                        # the final partial batch is wrap-padded for
+                        # static shapes; mask the duplicated rows so
+                        # every example counts exactly once (model
+                        # forwards honor ex_valid)
+                        n_valid = min(self.batch_size,
+                                      n_ex - bi * self.batch_size)
+                        batch["ex_valid"] = (
+                            np.arange(self.batch_size) < n_valid)
                     if self.mesh is not None:
                         # validation is identical-replica on every host
                         # (full split, deterministic refs/rng) — global
