@@ -215,10 +215,24 @@ def test_plan_parity_ob_txt(parity_pair):
     _plan_parity("ob_txt")
 
 
+def test_plan_parity_no_lang_ca():
+    """The no_lang_ca branch (vilmodel_cmt.py:645-652 precomputed
+    per-layer lang states + :701-711 fixed-lang x-layers): 4 of the 7
+    task presets (rxr/r4r/reverie/cvdn) train with it, so
+    reference-weight parity for those tasks rests on this path. Note
+    under no_lang_ca the reference IGNORES act_pred_token
+    (:717-718: logits from ob_embeds alone) and the agent state is
+    hist[CLS] (model_HAMT.py:61-63)."""
+    _plan_parity("ob_txt", no_lang_ca=True)
+
+
 @pytest.mark.slow
 def test_plan_parity_variants():
     for variant in ("ob", "ob_hist", "ob_txt_hist"):
         _plan_parity(variant)
+    # act_pred_token is ignored under no_lang_ca, but the preset files
+    # still carry variant values — pin that combination too
+    _plan_parity("ob", no_lang_ca=True)
 
 
 def test_hf_bert_init_parity():
@@ -381,8 +395,10 @@ def _remap_tokens(items, vocab):
 
 def test_reference_agent_checkpoint_into_eval(tmp_path):
     """A reference agent checkpoint FILE (the torch format written by
-    Seq2SeqCMTAgent.save, agent_cmt.py:607-622: vln_bert + critic
-    state_dicts under 'module.' DDP prefixes) must round-trip through
+    Seq2SeqCMTAgent.save, agent_cmt.py:607-622: the WRAPPER state dicts
+    — VLNBertCMT whose inner module is 'vln_bert', model_HAMT.py:13 —
+    under 'module.' DDP prefixes, so keys look like
+    'module.vln_bert.embeddings...') must round-trip through
     agent.init_from_reference into greedy evaluation — the production
     path for evaluating released checkpoints (--init_ref_ckpt)."""
     from vln_hamt_tpu.agents.agent import HAMTAgent
@@ -401,7 +417,7 @@ def test_reference_agent_checkpoint_into_eval(tmp_path):
     path = str(tmp_path / "ref_agent.pt")
     torch.save({
         "vln_bert": {"epoch": 7, "state_dict": {
-            "module." + k: v for k, v in ref.state_dict().items()}},
+            "module.vln_bert." + k: v for k, v in ref.state_dict().items()}},
         "critic": {"epoch": 7, "state_dict": critic_sd},
     }, path)
 

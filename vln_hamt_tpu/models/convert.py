@@ -200,6 +200,53 @@ def pretrain_to_finetune_params(pretrain_params: Mapping[str, Any]) -> Dict:
     return p
 
 
+def convert_reference_pretrain_state_dict(sd: Mapping[str, Any]) -> Dict:
+    """Reference ``MultiStepNavCMTPreTraining`` state dict -> flax
+    ``HAMTPretrain`` params (trunk + ALL task heads).
+
+    The trunk (``bert.*`` = NavPreTrainedModel, pretrain_src/model/
+    vilmodel.py:578-638 — same module names as the finetune NavCMT)
+    converts through :func:`convert_navcmt_state_dict` into the
+    ``hamt`` subtree. Heads (pretrain_cmt.py:73-99):
+
+    - ``mlm_head.predictions`` (BertOnlyMLMHead, vilmodel.py:288-295;
+      decoder tied to the word embeddings so only transform + bias
+      carry weights)
+    - ``next_action`` / ``regress_action`` / ``sprel_head``
+      (Sequential net.0 dense / net.2 LN / net.4 dense, :13-47)
+    - ``image_classifier`` / ``itm_head`` (no dropout: net.0 / net.2 /
+      net.3, :49-71)
+
+    Heads absent from the checkpoint (tasks not in
+    ``config.pretrain_tasks``) are left out — merge over random init.
+    """
+    sd = {(k[len("module."):] if k.startswith("module.") else k): v
+          for k, v in sd.items()}
+    trunk = {k[len("bert."):]: v for k, v in sd.items()
+             if k.startswith("bert.")}
+    p: Dict = {"hamt": convert_navcmt_state_dict(
+        trunk, **_detect_navcmt_dims(trunk))}
+
+    if "mlm_head.predictions.transform.dense.weight" in sd:
+        mh: Dict = {}
+        _linear(mh, ("transform_dense",), sd,
+                "mlm_head.predictions.transform.dense")
+        _layernorm(mh, ("transform_ln",), sd,
+                   "mlm_head.predictions.transform.LayerNorm")
+        mh["bias"] = np.asarray(sd["mlm_head.predictions.bias"])
+        p["mlm_head"] = mh
+    for name, last in (("next_action", 4), ("regress_action", 4),
+                       ("sprel_head", 4), ("image_classifier", 3),
+                       ("itm_head", 3)):
+        if f"{name}.net.0.weight" in sd:
+            h: Dict = {}
+            _linear(h, ("dense1",), sd, f"{name}.net.0")
+            _layernorm(h, ("ln",), sd, f"{name}.net.2")
+            _linear(h, ("dense2",), sd, f"{name}.net.{last}")
+            p[name] = h
+    return p
+
+
 def convert_hf_bert_state_dict(sd: Mapping[str, Any],
                                num_l_layers: int = 9) -> Dict:
     """HuggingFace bert-base-uncased state_dict -> partial HAMT params.
@@ -423,7 +470,18 @@ def load_reference_checkpoint(path: str):
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(blob, dict) and "vln_bert" in blob:
-        vln_sd = {k.replace("module.", ""): np.asarray(v)
+        # the agent saves the WRAPPER's state dict (VLNBertCMT /
+        # NavRefModel, whose inner module is named ``vln_bert``:
+        # model_HAMT.py:13 / model_navref.py:79), optionally under a
+        # DDP ``module.`` prefix — strip both layers
+        def strip(k: str) -> str:
+            if k.startswith("module."):
+                k = k[len("module."):]
+            if k.startswith("vln_bert."):
+                k = k[len("vln_bert."):]
+            return k
+
+        vln_sd = {strip(k): np.asarray(v)
                   for k, v in blob["vln_bert"]["state_dict"].items()}
         critic = None
         if "critic" in blob:

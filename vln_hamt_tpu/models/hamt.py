@@ -437,10 +437,16 @@ class HAMT(nn.Module):
         visn = jnp.concatenate([hist, ob, obj], axis=1)
         visn_mask = jnp.concatenate([ext_hist, ext_ob, ext_obj], axis=-1)
 
+        # NavRefCMT has NO per-layer lang states: under no_lang_ca its
+        # 'language' mode returns the plain encoding
+        # (reverie/vlnbert_navref.py:69-84 — no precompute loop, unlike
+        # vilmodel_cmt.py:645-652) and the x-layers pass the text stream
+        # through UNCHANGED (LXRTXLayer lang passthrough), so every
+        # layer — and the ref_object head (:156) — sees the INITIAL
+        # text encoding. txt_embeds still arrives stacked (X+1,B,L,D)
+        # from the shared encode_text; only index 0 is meaningful here.
         lang = txt_embeds[0] if cfg.no_lang_ca else txt_embeds
-        for li, layer in enumerate(self.x_layers):
-            if cfg.no_lang_ca:
-                lang = txt_embeds[li]
+        for layer in self.x_layers:
             lang, visn = layer(lang, ext_txt, visn, visn_mask,
                                deterministic=deterministic)
 
