@@ -6,19 +6,28 @@ step. The reference trains R2R at batch 8 on one CUDA GPU
 interleaving; here a whole teacher-forced episode batch is ONE jitted
 scan (forward + backward + optimizer update).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+``mfu`` (compiled FLOPs/step / measured step time / chip bf16 peak) and
+the 'sample' feedback numbers.
 
 ``vs_baseline`` compares against ESTIMATED_REFERENCE_EPS — an estimate
 of the reference pipeline's IL episodes/sec on a single V100 (batch 8,
 ~0.4 s/iteration judged from its per-step forward count at this model
 size; the repo publishes no measured number, see BASELINE.md). Replace
 with a measured value when available.
+
+If the TPU backend is unreachable (the tunnel outage mode that produced
+BENCH_r03's rc=1), this still prints ONE parseable JSON line with an
+``error`` field and exits 0, so outage vs regression is
+machine-distinguishable in the round artifacts.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 ESTIMATED_REFERENCE_EPS = 20.0  # episodes/sec, 1x V100, IL batch 8 (estimate)
@@ -37,8 +46,121 @@ MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", 8))
 SAMPLE_STEPS = int(os.environ.get("BENCH_SAMPLE_STEPS", 4))
 MEASURE_SAMPLE = os.environ.get("BENCH_SAMPLE", "1") == "1"
 
+# bf16 peak FLOP/s by device kind (jax Device.device_kind substrings)
+_PEAK_BF16 = {
+    "v5 lite": 197e12,  # TPU v5e
+    "v5litepod": 197e12,
+    "v4": 275e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,  # Trillium
+}
+_DEFAULT_PEAK = 197e12
+
+
+def _probe_backend(timeout_s: int = 90) -> str:
+    """Probe TPU reachability in a SUBPROCESS (immune to C-level hangs).
+
+    Returns "" when healthy, else a short error string. BENCH_r03 failed
+    with an in-process RuntimeError traceback (and the tunnel was also
+    observed to *hang* at judging time), hence subprocess + timeout.
+    """
+    code = "import jax; print(jax.devices()[0].device_kind)"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return f"tpu_backend_unavailable: probe timed out after {timeout_s}s"
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        return "tpu_backend_unavailable: " + (tail[-1] if tail else "rc!=0")
+    return ""
+
+
+def _chip_peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_BF16.items():
+        if sub in kind:
+            return peak
+    return _DEFAULT_PEAK
+
+
+def _compiled_flops(lowered) -> float:
+    """FLOPs/step from XLA's cost analysis of the compiled executable.
+
+    CAVEAT: XLA's HloCostAnalysis counts a While body ONCE — the
+    episode ``lax.scan`` (T iterations) is therefore undercounted by
+    ~T x. Exact for non-loop programs (verified against a plain matmul
+    on this backend). Kept as a secondary diagnostic; the headline
+    ``mfu`` uses the analytic matmul count below.
+    """
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    return float(cost.get("flops", 0.0))
+
+
+def _analytic_il_flops(cfg, batch: int, n_ob: int) -> float:
+    """Matmul FLOPs of one IL update (fwd + bwd = 3x fwd), analytic.
+
+    Counts the dense/attention matmuls of the jitted program — the
+    standard MFU numerator (remat recompute is excluded: it is overhead,
+    not useful work). Elementwise ops (LN, softmax, optimizer) don't use
+    the MXU and are omitted.
+
+    Per-step token counts: visual stream = (T+1) history tokens + n_ob
+    obs tokens; language stream = L instruction tokens. Per token per
+    transformer layer: QKVO 4D^2 MACs + FFN 8D^2 MACs (+ attention
+    score/value matmuls 2*Lk*D). Cross layers add the Q/O and K/V
+    splits across the two streams (models/layers.py:CrossModalLayer ==
+    vilmodel_cmt.py:361-424).
+    """
+    m = cfg.model
+    d = m.hidden_size
+    d2 = float(d * d)
+    # FFN is intermediate_size (4D in BERT): 2 * D * I MACs per token
+    ffn = 2.0 * d * m.intermediate_size
+    L = cfg.env.max_instr_len
+    T = cfg.env.max_action_len
+    n_hist = T + 1
+    n_v = n_hist + n_ob
+
+    # text encode: num_l_layers self-attn layers over L tokens
+    per_tok_self = 4 * d2 + ffn
+    text = m.num_l_layers * L * (per_tok_self + 2.0 * L * d)
+
+    # one scan step: cross-modal x-layers over (visn | lang)
+    visn = (4 * d2 * n_v + 2.0 * n_v * n_v * d      # self-attn
+            + 2 * d2 * n_v + 2 * d2 * L             # cross Q/O + K/V
+            + 2.0 * n_v * L * d                     # cross scores/values
+            + ffn * n_v)
+    lang = (4 * d2 * L + 2.0 * L * L * d
+            + 2 * d2 * L + 2 * d2 * n_v
+            + 2.0 * L * n_v * d
+            + ffn * L)
+    xstep = m.num_x_layers * (visn + lang)
+
+    # per-step history token: pano transformer over 36 views + linears
+    pano = m.num_h_pano_layers * 36 * (per_tok_self + 2.0 * 36 * d)
+    pano += 36 * (m.image_feat_size * d + m.angle_feat_size * d)
+    head = n_ob * (d2 + d)  # action head (critic ~d*512, negligible)
+
+    fwd_macs = batch * (text + T * (xstep + pano + head))
+    return 3.0 * 2.0 * fwd_macs  # x2 MAC->FLOP, x3 fwd+bwd
+
 
 def main() -> None:
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
+        err = _probe_backend()
+        if err:
+            print(json.dumps({
+                "metric": "r2r_il_train_episodes_per_sec_per_chip",
+                "value": 0.0, "unit": "episodes/s", "vs_baseline": 0.0,
+                "error": err,
+            }))
+            return
+
     import jax
     import numpy as np
 
@@ -55,6 +177,8 @@ def main() -> None:
     from vln_hamt_tpu.configs import get_preset
     from vln_hamt_tpu.data.fixtures import make_synthetic_world
     from vln_hamt_tpu.env import ObsSpec, R2RNavEnv
+
+    peak_flops = _chip_peak_flops(jax.devices()[0])
 
     # bf16 compute + per-step remat: the fp32 no-remat scan stores
     # O(T * B * L * 4D) activations and OOMs a single 16GB chip.
@@ -113,7 +237,29 @@ def main() -> None:
         "value": round(eps_per_sec, 2),
         "unit": "episodes/s",
         "vs_baseline": round(eps_per_sec / ESTIMATED_REFERENCE_EPS, 3),
+        "batch_size": BATCH_SIZE,
     }
+
+    # ---- MFU: analytic matmul FLOPs/step (fwd+bwd; remat recompute
+    # excluded) / measured wall step time / chip bf16 peak. XLA's
+    # compiled cost analysis is recorded too but counts the episode
+    # scan's While body only once (see _compiled_flops) — diagnostic
+    # only.
+    n_ob = cfg.env.max_candidates + 1 + 36
+    il_flops = _analytic_il_flops(cfg, BATCH_SIZE, n_ob)
+    record["flops_per_step"] = il_flops
+    record["mfu"] = round(il_flops * steps_per_sec / peak_flops, 4)
+    record["peak_flops"] = peak_flops
+    try:
+        ep = agent._ep_to_device(agent.env.teacher_episode())
+        record["flops_per_step_xla_noscan"] = _compiled_flops(
+            agent._il_update.lower(
+                agent.state.params, agent.state.cparams,
+                agent.state.opt_state, agent.state.copt_state, ep,
+                jax.random.PRNGKey(0), cfg.train.teacher_weight,
+                agent._feat_table))
+    except Exception as e:  # never let the measurement kill the bench
+        record["mfu_error"] = f"{type(e).__name__}: {e}"[:200]
 
     if MEASURE_SAMPLE and agent._nav_tables is not None:
         out = agent.train_iteration("sample", sync=False)  # warmup/compile
@@ -128,6 +274,12 @@ def main() -> None:
         record["sample_eps_per_sec"] = round(sample_eps, 2)
         record["sample_vs_baseline"] = round(
             sample_eps / ESTIMATED_REFERENCE_SAMPLE_EPS, 3)
+        # the merged update runs IL + RL as 2B lanes through the SAME
+        # per-step transformer (PARITY.md #18) -> ~2x the IL flops
+        s_flops = _analytic_il_flops(cfg, 2 * BATCH_SIZE, n_ob)
+        record["sample_flops_per_step"] = s_flops
+        record["sample_mfu"] = round(
+            s_flops * (SAMPLE_STEPS / dt) / peak_flops, 4)
 
     print(json.dumps(record))
 
