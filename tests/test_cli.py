@@ -198,13 +198,14 @@ def test_image_pretrain_cli_device_bench(tmp_path, capsys):
 
 @pytest.mark.slow
 def test_finetune_cli_variant_presets(tmp_path, capsys):
-    """The r4r and rxr presets run the full synthetic pipeline end to
-    end — rxr exercises the XLM-R path (250k vocab, type_vocab_size 1,
-    no_lang_ca; scripts/run_rxr.sh) through training + device eval +
-    model selection."""
+    """The r4r, rxr and r2r_last presets run the full synthetic
+    pipeline end to end — rxr exercises the XLM-R path (250k vocab,
+    type_vocab_size 1, no_lang_ca; scripts/run_rxr.sh) through training
+    + device eval + model selection; r2r_last is the LastSent
+    config-only variant over R2RNavEnv (scripts/run_r2r_last.sh)."""
     from vln_hamt_tpu.run.finetune import main
 
-    for task in ("r4r", "rxr"):
+    for task in ("r4r", "rxr", "r2r_last"):
         out = str(tmp_path / task)
         main(["--task", task, "--synthetic", "--tiny", "--iters", "2",
               "--log_every", "2", "--output_dir", out,

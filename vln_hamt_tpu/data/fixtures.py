@@ -231,3 +231,101 @@ def make_synthetic_r2rback_items(world: SyntheticWorld) -> List[dict]:
             }
         )
     return items
+
+
+# ----------------------------------------------------------------------
+# Real-format export (released-checkpoint runbook dry runs)
+
+
+def export_real_format(
+    world: SyntheticWorld,
+    dst_dir: str,
+    splits: Dict[str, float] = None,
+) -> Dict[str, str]:
+    """Write the synthetic world as REAL-format assets.
+
+    Produces files shaped exactly like the Matterport3D / R2R releases
+    so the released-checkpoint runbook (``scripts/eval_released_ckpt.sh``
+    over ``run/finetune.py --valid_only``) can be dry-run end to end
+    without the real data:
+
+    - ``connectivity/{scan}_connectivity.json`` — the reference
+      connectivity schema (``image_id`` / ``included`` / flat 4x4
+      ``pose`` with translation at [3],[7],[11] / ``unobstructed`` in
+      node order; finetune_src/r2r/data_utils.py:86-111 reader).
+    - ``annotations/R2R_{split}_enc.json`` — reference R2R annotation
+      items (``path_id/scan/heading/path/instructions/instr_encodings``;
+      data_utils.py:56-83 expands per instruction).
+    - ``features.hdf5`` — one ``{scan}_{viewpoint}`` dataset of
+      (36, feat_dim) float32 per viewpoint (the
+      ``precompute_img_features_vit.py`` output schema that
+      ``HDF5FeatureDB`` reads).
+
+    ``splits`` maps split name -> fraction of items; defaults to the
+    three validation splits ``build_real_dataset`` expects. Returns
+    ``{"connectivity_dir", "anno_dir", "img_ft_file"}``.
+    """
+    import json
+    import os
+
+    import h5py
+
+    if splits is None:
+        splits = {"val_train_seen": 0.2, "val_seen": 0.3, "val_unseen": 0.5}
+
+    conn_dir = os.path.join(dst_dir, "connectivity")
+    anno_dir = os.path.join(dst_dir, "annotations")
+    os.makedirs(conn_dir, exist_ok=True)
+    os.makedirs(anno_dir, exist_ok=True)
+
+    for scan, g in world.graphs.items():
+        entries = []
+        for i, vp in enumerate(g.node_ids):
+            pose = [0.0] * 16
+            pose[0] = pose[5] = pose[10] = pose[15] = 1.0
+            pose[3], pose[7], pose[11] = (float(x) for x in g.positions[i])
+            entries.append({
+                "image_id": vp,
+                "included": True,
+                "pose": pose,
+                "height": 1.5,
+                "unobstructed": [bool(g.adj[i, j])
+                                 for j in range(g.num_nodes)],
+            })
+        with open(os.path.join(conn_dir, f"{scan}_connectivity.json"),
+                  "w") as f:
+            json.dump(entries, f)
+    with open(os.path.join(conn_dir, "scans.txt"), "w") as f:
+        f.write("\n".join(sorted(world.graphs)) + "\n")
+
+    # regroup the per-instruction synthetic items into reference
+    # annotation records (one record per path, instruction lists)
+    items = list(world.instr_data)
+    n = len(items)
+    start = 0
+    for split, frac in splits.items():
+        stop = min(n, start + max(1, int(round(n * frac))))
+        anno = [{
+            "distance": float(
+                world.graphs[it["scan"]].dist[
+                    world.graphs[it["scan"]].node_index[it["path"][0]],
+                    world.graphs[it["scan"]].node_index[it["path"][-1]]]),
+            "scan": it["scan"],
+            "path_id": it["path_id"],
+            "path": it["path"],
+            "heading": it["heading"],
+            "instructions": [it["instruction"]],
+            "instr_encodings": [it["instr_encoding"]],
+        } for it in items[start:stop]]
+        with open(os.path.join(anno_dir, f"R2R_{split}_enc.json"), "w") as f:
+            json.dump(anno, f)
+        start = stop
+
+    ft_file = os.path.join(dst_dir, "features.hdf5")
+    with h5py.File(ft_file, "w") as f:
+        for scan, g in world.graphs.items():
+            for vp in g.node_ids:
+                f.create_dataset(f"{scan}_{vp}",
+                                 data=world.feat_db.get(scan, vp))
+    return {"connectivity_dir": conn_dir, "anno_dir": anno_dir,
+            "img_ft_file": ft_file}

@@ -506,6 +506,11 @@ def parse_args(argv=None):
                    help="mask already-visited candidates during greedy "
                         "eval (reference parser.py flag)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (JAX_PLATFORMS is "
+                        "overridden by the axon sitecustomize, so the "
+                        "env var alone cannot; used by dry runs that "
+                        "must not touch the real TPU)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the episode scan (O(1) activations)")
@@ -540,6 +545,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     # multi-host runtime init (no-op single-process; replaces the
     # reference's init_distributed NCCL rendezvous, main.py:275-277)
     from ..parallel.mesh import init_distributed
