@@ -116,6 +116,26 @@ def test_two_process_sharded_feed_matches_single(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_sharded_uneven_eval(tmp_path):
+    """UNEQUAL per-host eval shards (5 vs 3 items) under sharded
+    feeding: processes wrap after DIFFERENT device-eval batch counts,
+    so eval_split_device must keep EVERY process in the global
+    collective loop until all shards have wrapped (round-3 ADVICE #1 —
+    the last rank holds the len%n_proc remainder under --sharded_feed,
+    env/r2r_env.py:75-80). Without the all-process loop guard this
+    test DEADLOCKS (the worker timeout fails it); predictions must
+    still match the single-process full-split oracle exactly."""
+    dist = _run(nprocs=2, devices_per_proc=2, tmp_path=tmp_path,
+                scenario="sharded_uneven")
+    assert dist["process_count"] == 2
+    oracle = _run(nprocs=1, devices_per_proc=4, tmp_path=tmp_path,
+                  scenario="sharded_uneven")
+    np.testing.assert_allclose(dist["losses"], oracle["losses"],
+                               rtol=2e-5, atol=1e-6)
+    assert dist["traj"] == oracle["traj"]
+
+
+@pytest.mark.slow
 def test_two_process_sharded_reverie_matches_single(tmp_path):
     """Sharded feeding on the object-grounded task: per-host REVERIE
     env shards (object tables, dual-CE merged updates) and per-host
