@@ -46,15 +46,8 @@ MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", 8))
 SAMPLE_STEPS = int(os.environ.get("BENCH_SAMPLE_STEPS", 4))
 MEASURE_SAMPLE = os.environ.get("BENCH_SAMPLE", "1") == "1"
 
-# bf16 peak FLOP/s by device kind (jax Device.device_kind substrings)
-_PEAK_BF16 = {
-    "v5 lite": 197e12,  # TPU v5e
-    "v5litepod": 197e12,
-    "v4": 275e12,
-    "v5p": 459e12,
-    "v6 lite": 918e12,  # Trillium
-}
-_DEFAULT_PEAK = 197e12
+# peak table + analytic flops live in vln_hamt_tpu.utils.flops (shared
+# with the fine-tune CLI's throughput logging)
 
 
 def _probe_backend(timeout_s: int = 90) -> str:
@@ -78,14 +71,6 @@ def _probe_backend(timeout_s: int = 90) -> str:
     return ""
 
 
-def _chip_peak_flops(device) -> float:
-    kind = getattr(device, "device_kind", "").lower()
-    for sub, peak in _PEAK_BF16.items():
-        if sub in kind:
-            return peak
-    return _DEFAULT_PEAK
-
-
 def _compiled_flops(lowered) -> float:
     """FLOPs/step from XLA's cost analysis of the compiled executable.
 
@@ -99,55 +84,6 @@ def _compiled_flops(lowered) -> float:
     if isinstance(cost, (list, tuple)):  # older jax returns [dict]
         cost = cost[0]
     return float(cost.get("flops", 0.0))
-
-
-def _analytic_il_flops(cfg, batch: int, n_ob: int) -> float:
-    """Matmul FLOPs of one IL update (fwd + bwd = 3x fwd), analytic.
-
-    Counts the dense/attention matmuls of the jitted program — the
-    standard MFU numerator (remat recompute is excluded: it is overhead,
-    not useful work). Elementwise ops (LN, softmax, optimizer) don't use
-    the MXU and are omitted.
-
-    Per-step token counts: visual stream = (T+1) history tokens + n_ob
-    obs tokens; language stream = L instruction tokens. Per token per
-    transformer layer: QKVO 4D^2 MACs + FFN 8D^2 MACs (+ attention
-    score/value matmuls 2*Lk*D). Cross layers add the Q/O and K/V
-    splits across the two streams (models/layers.py:CrossModalLayer ==
-    vilmodel_cmt.py:361-424).
-    """
-    m = cfg.model
-    d = m.hidden_size
-    d2 = float(d * d)
-    # FFN is intermediate_size (4D in BERT): 2 * D * I MACs per token
-    ffn = 2.0 * d * m.intermediate_size
-    L = cfg.env.max_instr_len
-    T = cfg.env.max_action_len
-    n_hist = T + 1
-    n_v = n_hist + n_ob
-
-    # text encode: num_l_layers self-attn layers over L tokens
-    per_tok_self = 4 * d2 + ffn
-    text = m.num_l_layers * L * (per_tok_self + 2.0 * L * d)
-
-    # one scan step: cross-modal x-layers over (visn | lang)
-    visn = (4 * d2 * n_v + 2.0 * n_v * n_v * d      # self-attn
-            + 2 * d2 * n_v + 2 * d2 * L             # cross Q/O + K/V
-            + 2.0 * n_v * L * d                     # cross scores/values
-            + ffn * n_v)
-    lang = (4 * d2 * L + 2.0 * L * L * d
-            + 2 * d2 * L + 2 * d2 * n_v
-            + 2.0 * L * n_v * d
-            + ffn * L)
-    xstep = m.num_x_layers * (visn + lang)
-
-    # per-step history token: pano transformer over 36 views + linears
-    pano = m.num_h_pano_layers * 36 * (per_tok_self + 2.0 * 36 * d)
-    pano += 36 * (m.image_feat_size * d + m.angle_feat_size * d)
-    head = n_ob * (d2 + d)  # action head (critic ~d*512, negligible)
-
-    fwd_macs = batch * (text + T * (xstep + pano + head))
-    return 3.0 * 2.0 * fwd_macs  # x2 MAC->FLOP, x3 fwd+bwd
 
 
 def main() -> None:
@@ -177,8 +113,9 @@ def main() -> None:
     from vln_hamt_tpu.configs import get_preset
     from vln_hamt_tpu.data.fixtures import make_synthetic_world
     from vln_hamt_tpu.env import ObsSpec, R2RNavEnv
+    from vln_hamt_tpu.utils.flops import analytic_update_flops, chip_peak_flops
 
-    peak_flops = _chip_peak_flops(jax.devices()[0])
+    peak_flops = chip_peak_flops(jax.devices()[0])
 
     # bf16 compute + per-step remat: the fp32 no-remat scan stores
     # O(T * B * L * 4D) activations and OOMs a single 16GB chip.
@@ -193,6 +130,15 @@ def main() -> None:
         model={"dtype": "bfloat16", "remat": remat,
                "use_pallas_attention": pallas_attn},
     )
+    # BENCH_ZERO_DROPOUT=1: rate-0 dropout short-circuits in flax (no
+    # threefry bits generated) — isolates the RNG + mask cost of
+    # training dropout in the step time. Diagnostic only; changes the
+    # estimator, never a production setting.
+    if os.environ.get("BENCH_ZERO_DROPOUT", "0") == "1":
+        cfg = cfg.replace(model={
+            "hidden_dropout_prob": 0.0, "attention_probs_dropout_prob": 0.0,
+            "pred_head_dropout_prob": 0.0, "feat_dropout": 0.0,
+            "critic_dropout": 0.0})
 
     world = make_synthetic_world(
         num_scans=2, nodes_per_scan=36, num_items=2 * BATCH_SIZE,
@@ -220,6 +166,11 @@ def main() -> None:
     for _ in range(WARMUP_STEPS):
         agent.train_iteration("teacher")
 
+    # BENCH_PROFILE=<dir>: capture a jax.profiler trace of the measured
+    # IL steps (xplane/trace-viewer artifacts for the MFU gap analysis)
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     out = None
     for _ in range(MEASURE_STEPS):
@@ -227,6 +178,8 @@ def main() -> None:
         out = agent.train_iteration("teacher", sync=False)
     final_loss = float(out["loss"])  # sync once at the end
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
     assert np.isfinite(final_loss)
 
     steps_per_sec = MEASURE_STEPS / dt
@@ -246,7 +199,7 @@ def main() -> None:
     # scan's While body only once (see _compiled_flops) — diagnostic
     # only.
     n_ob = cfg.env.max_candidates + 1 + 36
-    il_flops = _analytic_il_flops(cfg, BATCH_SIZE, n_ob)
+    il_flops = analytic_update_flops(cfg, BATCH_SIZE, n_ob)
     record["flops_per_step"] = il_flops
     record["mfu"] = round(il_flops * steps_per_sec / peak_flops, 4)
     record["peak_flops"] = peak_flops
@@ -276,7 +229,7 @@ def main() -> None:
             sample_eps / ESTIMATED_REFERENCE_SAMPLE_EPS, 3)
         # the merged update runs IL + RL as 2B lanes through the SAME
         # per-step transformer (PARITY.md #18) -> ~2x the IL flops
-        s_flops = _analytic_il_flops(cfg, 2 * BATCH_SIZE, n_ob)
+        s_flops = analytic_update_flops(cfg, 2 * BATCH_SIZE, n_ob)
         record["sample_flops_per_step"] = s_flops
         record["sample_mfu"] = round(
             s_flops * (SAMPLE_STEPS / dt) / peak_flops, 4)

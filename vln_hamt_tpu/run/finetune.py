@@ -377,11 +377,24 @@ def train(
         else:
             agent.save(stem + ".pkl")
 
+    # per-interval throughput + MFU (the reference logs ex/s,
+    # main_r2r.py:283-301; MFU = analytic matmul FLOPs / wall time /
+    # chip bf16 peak, utils/flops.py)
+    from ..utils.flops import analytic_update_flops, chip_peak_flops
+
+    n_ob = cfg.env.max_candidates + 1 + 36
+    n_obj = cfg.env.max_objects if cfg.model.obj_feat_size > 0 else 0
+    lanes_per_iter = cfg.train.batch_size * (
+        2 if cfg.train.feedback == "sample" else 1)
+    flops_per_iter = analytic_update_flops(
+        cfg, lanes_per_iter, n_ob, n_obj=n_obj)
+    peak = chip_peak_flops(jax.devices()[0]) * len(jax.devices())
+
     step = 0
     while step < iters:
         interval = min(log_every, iters - step)
         losses = []
-        with logger.timer("train"):
+        with logger.timer("train") as train_t:
             for j in range(interval):
                 # async: device works while the host assembles the next
                 # episode; sync only at the logging boundary
@@ -391,7 +404,10 @@ def train(
                 losses.append(out["loss"])
             losses = [float(np.asarray(l)) for l in losses]
         step += interval
+        dt = train_t.last
         logger.log(step, {"loss": float(np.mean(losses)),
+                          "eps_per_sec": interval * cfg.train.batch_size / dt,
+                          "mfu": interval * flops_per_iter / dt / peak,
                           **{k: float(np.mean(v[-interval:]))
                              for k, v in agent.logs.items() if v}})
 

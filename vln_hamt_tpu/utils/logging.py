@@ -28,6 +28,7 @@ class Timer:
     def reset(self):
         self.total = 0.0
         self.count = 0
+        self.last = 0.0  # most recent interval (throughput/MFU logging)
         self._start = None
 
     def start(self):
@@ -35,7 +36,8 @@ class Timer:
 
     def stop(self):
         assert self._start is not None
-        self.total += time.perf_counter() - self._start
+        self.last = time.perf_counter() - self._start
+        self.total += self.last
         self.count += 1
         self._start = None
 
