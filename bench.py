@@ -108,6 +108,18 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+    # Hardware RngBitGenerator dropout (the production --rng_impl rbg
+    # knob, utils/misc.py:apply_rng_impl) is the bench default:
+    # zero-dropout diagnosis showed threefry mask generation costs ~1/3
+    # of the step (97.3 -> 143.6 eps/s ceiling); rbg recovers most of
+    # it (135.97 eps/s, BASELINE.md). Same dropout distribution,
+    # different bit-stream; NOT sharding-invariant (threefry stays the
+    # default where 2-process == 1-process bit-parity matters).
+    # BENCH_RBG=0 reverts to threefry.
+    rng_impl = "rbg" if os.environ.get("BENCH_RBG", "1") == "1" else \
+        "threefry2x32"
+    if rng_impl != "threefry2x32":
+        jax.config.update("jax_default_prng_impl", rng_impl)
 
     from vln_hamt_tpu.agents.agent import HAMTAgent
     from vln_hamt_tpu.configs import get_preset
@@ -191,6 +203,7 @@ def main() -> None:
         "unit": "episodes/s",
         "vs_baseline": round(eps_per_sec / ESTIMATED_REFERENCE_EPS, 3),
         "batch_size": BATCH_SIZE,
+        "rng_impl": rng_impl,
     }
 
     # ---- MFU: analytic matmul FLOPs/step (fwd+bwd; remat recompute

@@ -982,6 +982,19 @@ class HAMTAgent:
                     self._feat_table, self._nav_tables,
                     getattr(self, "_obj_tables", None))
             else:
+                # rollout-then-replay: the replay program regenerates
+                # the rollout's dropout masks from the same fold_in
+                # keys in a DIFFERENT compiled program — only threefry
+                # guarantees identical bits across programs. rbg would
+                # silently corrupt the RL gradient here; the fused/
+                # merged single-program updates (above) are rng_impl-
+                # agnostic.
+                if jax.config.jax_default_prng_impl != "threefry2x32":
+                    raise ValueError(
+                        "the rollout-then-replay 'sample' path requires "
+                        "the threefry PRNG (replay-parity invariant); "
+                        "use fused/merged_sample_update with rng_impl="
+                        f"{jax.config.jax_default_prng_impl!r}")
                 il_rng = self._next_rng()
                 rl_rng = self._next_rng()
                 if use_device:

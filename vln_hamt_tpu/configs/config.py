@@ -145,6 +145,16 @@ class TrainConfig:
     ckpt_dir: str = "ckpts"
     resume_file: Optional[str] = None
     resume_optimizer: bool = False
+    # dropout PRNG implementation: "threefry2x32" (jax default; bits are
+    # a pure function of the key — identical across programs, shardings
+    # and process counts, which the replay-parity and 2-process==1
+    # tests rely on) or "rbg" (TPU hardware RngBitGenerator for the
+    # mask bits; same dropout DISTRIBUTION, different bit-stream, and
+    # NOT sharding-invariant). Measured on v5e (BASELINE.md): threefry
+    # mask generation costs ~1/3 of the train step at these shapes;
+    # rbg recovers most of it (+40% IL / +30% sample eps/s). Applied
+    # globally by the CLIs via utils/misc.py:apply_rng_impl.
+    rng_impl: str = "threefry2x32"
 
 
 @dataclass(frozen=True)

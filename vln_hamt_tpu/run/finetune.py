@@ -33,6 +33,7 @@ from ..data.nav_graph import load_nav_graphs
 from ..env import CVDNNavEnv, ObsSpec, R2RBackNavEnv, R2RNavEnv, ReverieNavEnv
 from ..parallel.mesh import host_allgather
 from ..utils.logging import MetricsLogger, write_record
+from ..utils.misc import apply_rng_impl
 
 
 def selection_score(dataset: str, metrics: Dict[str, float]) -> float:
@@ -537,6 +538,17 @@ def parse_args(argv=None):
                    help="'sample' feedback as the fused two-scan update "
                         "(bit-comparable to the host rollout) instead of "
                         "the merged single-scan one (PARITY.md #18)")
+    p.add_argument("--rng_impl", default=None,
+                   choices=["threefry2x32", "rbg"],
+                   help="dropout PRNG implementation. 'rbg' uses the "
+                        "TPU hardware RngBitGenerator for mask bits: "
+                        "+40%% IL / +30%% 'sample' episodes/s on v5e "
+                        "(BASELINE.md), same dropout distribution, "
+                        "different bit-stream. Exact-bit "
+                        "reproducibility across shardings/process "
+                        "counts needs the threefry default; 'sample' "
+                        "with rbg requires the fused/merged "
+                        "single-program updates (the defaults).")
     p.add_argument("--orbax_ckpt", action="store_true",
                    help="write orbax directory checkpoints (async, "
                         "multi-host-native) instead of pickles; "
@@ -582,7 +594,11 @@ def main(argv=None):
         overrides["num_data_shards"] = args.data_shards
     if args.model_shards is not None:
         overrides["model_shards"] = args.model_shards
+    if args.rng_impl is not None:
+        overrides["rng_impl"] = args.rng_impl
     cfg = cfg.replace(train=overrides)
+    # before any PRNG key exists (key shape depends on the impl)
+    apply_rng_impl(cfg.train.rng_impl)
     if args.bf16:
         cfg = cfg.replace(model={"dtype": "bfloat16"})
     if args.remat:

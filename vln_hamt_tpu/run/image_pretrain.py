@@ -87,6 +87,9 @@ def parse_args(argv=None):
                         "batch/n_proc, stitched into the global batch "
                         "(run/pretrain.py --sharded_feed twin)")
     p.add_argument("--model_shards", type=int, default=1)
+    p.add_argument("--rng_impl", default="threefry2x32",
+                   choices=["threefry2x32", "rbg"],
+                   help="dropout PRNG (see utils/misc.py:apply_rng_impl)")
     p.add_argument("--device_bench", type=int, default=0,
                    help="measure N ViT-in-the-loop update iterations "
                         "per task with the batch resident in HBM — the "
@@ -102,6 +105,9 @@ def main(argv=None):
 
     import jax
 
+    from ..utils.misc import apply_rng_impl
+
+    apply_rng_impl(args.rng_impl)
     mcfg = get_preset("r2r").model
     vit_kwargs = dict(img_size=tuple(args.image_size),
                       dtype="bfloat16" if args.bf16 else "float32")

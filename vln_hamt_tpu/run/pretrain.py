@@ -114,6 +114,13 @@ def parse_args(argv=None):
     p.add_argument("--init_ckpt", default=None,
                    help="prior pretrain checkpoint to initialize weights "
                         "from (step resets; reference --checkpoint)")
+    p.add_argument("--rng_impl", default="threefry2x32",
+                   choices=["threefry2x32", "rbg"],
+                   help="dropout PRNG: 'rbg' = TPU hardware "
+                        "RngBitGenerator mask bits (faster; same "
+                        "distribution, different bit-stream; not "
+                        "sharding-invariant — see "
+                        "utils/misc.py:apply_rng_impl)")
     p.add_argument("--resume", default=None,
                    help="trainer checkpoint to resume training from "
                         "(weights + step)")
@@ -150,6 +157,9 @@ def main(argv=None):
     args = parse_args(argv)
     import dataclasses
 
+    from ..utils.misc import apply_rng_impl
+
+    apply_rng_impl(args.rng_impl)
     mcfg = get_preset("r2r").model
     if args.bf16:
         mcfg = dataclasses.replace(mcfg, dtype="bfloat16")
