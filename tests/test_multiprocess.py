@@ -52,7 +52,7 @@ def _run(nprocs: int, devices_per_proc: int, tmp_path,
     for p in procs:
         # three jitted update programs + eval compile per worker; a
         # loaded CI box can push a single worker past 30 min
-        stdout, _ = p.communicate(timeout=2700)
+        stdout, _ = p.communicate(timeout=3600)
         logs.append(stdout.decode(errors="replace"))
         assert p.returncode == 0, "\n".join(logs)
     with open(out) as f:
@@ -195,7 +195,7 @@ def _run_worker(worker: str, nprocs: int, devices_per_proc: int,
     ]
     logs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=2700)
+        stdout, _ = p.communicate(timeout=3600)
         logs.append(stdout.decode(errors="replace"))
         assert p.returncode == 0, "\n".join(logs)
     with open(out) as f:
@@ -221,7 +221,7 @@ def _run_finetune_cli(nprocs: int, devices_per_proc: int, tmp_path) -> dict:
     ]
     logs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=2700)
+        stdout, _ = p.communicate(timeout=3600)
         logs.append(stdout.decode(errors="replace"))
         assert p.returncode == 0, "\n".join(logs)
     with open(out) as f:
