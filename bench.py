@@ -8,7 +8,9 @@ scan (forward + backward + optimizer update).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
 ``mfu`` (compiled FLOPs/step / measured step time / chip bf16 peak) and
-the 'sample' feedback numbers.
+the 'sample' feedback numbers. Each program runs at its measured-
+optimal batch (IL 128, sample 64 — BASELINE.md batch-scaling envelope)
+with hardware-RNG dropout (BASELINE.md dropout-RNG section).
 
 ``vs_baseline`` compares against ESTIMATED_REFERENCE_EPS — an estimate
 of the reference pipeline's IL episodes/sec on a single V100 (batch 8,
@@ -37,7 +39,13 @@ ESTIMATED_REFERENCE_EPS = 20.0  # episodes/sec, 1x V100, IL batch 8 (estimate)
 # the per-episode estimate is half the IL figure
 ESTIMATED_REFERENCE_SAMPLE_EPS = 10.0
 
-BATCH_SIZE = int(os.environ.get("BENCH_BS", 64))
+# Each program is measured at its measured-optimal batch (BASELINE.md
+# batch-scaling envelope): IL peaks at 128, the merged 'sample' update
+# at 64. BENCH_BS overrides BOTH (single-batch mode, the pre-round-4
+# behavior); BENCH_IL_BS / BENCH_SAMPLE_BS override individually.
+_BS_BOTH = os.environ.get("BENCH_BS")
+IL_BATCH = int(os.environ.get("BENCH_IL_BS", _BS_BOTH or 128))
+SAMPLE_BATCH = int(os.environ.get("BENCH_SAMPLE_BS", _BS_BOTH or 64))
 WARMUP_STEPS = 2
 MEASURE_STEPS = int(os.environ.get("BENCH_STEPS", 8))
 # the reference's actual training default is feedback='sample'
@@ -138,7 +146,7 @@ def main() -> None:
     # kernel (ops/attention.py), incl. in-kernel dropout for training.
     pallas_attn = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
     cfg = get_preset("r2r").replace(
-        train={"batch_size": BATCH_SIZE},
+        train={"batch_size": IL_BATCH},
         model={"dtype": "bfloat16", "remat": remat,
                "use_pallas_attention": pallas_attn},
     )
@@ -152,29 +160,36 @@ def main() -> None:
             "pred_head_dropout_prob": 0.0, "feat_dropout": 0.0,
             "critic_dropout": 0.0})
 
-    world = make_synthetic_world(
-        num_scans=2, nodes_per_scan=36, num_items=2 * BATCH_SIZE,
-        feat_dim=cfg.model.image_feat_size, seed=0,
-    )
-    max_deg = max(g.max_degree for g in world.graphs.values())
-    cfg = cfg.replace(env={"max_candidates": max_deg})
-    spec = ObsSpec(max_candidates=max_deg,
-                   image_feat_size=cfg.env.image_feat_size)
-    env = R2RNavEnv(
-        world.graphs, world.feat_db, world.instr_data, spec,
-        batch_size=BATCH_SIZE, max_instr_len=cfg.env.max_instr_len,
-        max_action_len=cfg.env.max_action_len, seed=0,
-        reuse_episode_buffers=True,
-    )
-    agent = HAMTAgent(cfg, env, seed=0)
-    # BENCH_FEAT_TABLE=0 reverts to shipping (B,T,V,D) features per
-    # iteration instead of device-resident table + (B,T) index gather
-    if os.environ.get("BENCH_FEAT_TABLE", "1") == "1":
-        agent.enable_feature_table()
-    # BENCH_MERGED=0 falls back to the fused two-scan 'sample' update
-    # (IL scan + rollout scan) instead of the merged single 2B-lane scan
-    agent.merged_sample_update = os.environ.get("BENCH_MERGED", "1") == "1"
+    def build_agent(batch_size: int) -> HAMTAgent:
+        nonlocal cfg
+        cfg = cfg.replace(train={"batch_size": batch_size})
+        world = make_synthetic_world(
+            num_scans=2, nodes_per_scan=36, num_items=2 * batch_size,
+            feat_dim=cfg.model.image_feat_size, seed=0,
+        )
+        max_deg = max(g.max_degree for g in world.graphs.values())
+        cfg = cfg.replace(env={"max_candidates": max_deg})
+        spec = ObsSpec(max_candidates=max_deg,
+                       image_feat_size=cfg.env.image_feat_size)
+        env = R2RNavEnv(
+            world.graphs, world.feat_db, world.instr_data, spec,
+            batch_size=batch_size, max_instr_len=cfg.env.max_instr_len,
+            max_action_len=cfg.env.max_action_len, seed=0,
+            reuse_episode_buffers=True,
+        )
+        agent = HAMTAgent(cfg, env, seed=0)
+        # BENCH_FEAT_TABLE=0 reverts to shipping (B,T,V,D) features per
+        # iteration instead of device-resident table + (B,T) index gather
+        if os.environ.get("BENCH_FEAT_TABLE", "1") == "1":
+            agent.enable_feature_table()
+        # BENCH_MERGED=0 falls back to the fused two-scan 'sample'
+        # update (IL scan + rollout scan) instead of the merged single
+        # 2B-lane scan
+        agent.merged_sample_update = (
+            os.environ.get("BENCH_MERGED", "1") == "1")
+        return agent
 
+    agent = build_agent(IL_BATCH)
     for _ in range(WARMUP_STEPS):
         agent.train_iteration("teacher")
 
@@ -195,14 +210,14 @@ def main() -> None:
     assert np.isfinite(final_loss)
 
     steps_per_sec = MEASURE_STEPS / dt
-    eps_per_sec = steps_per_sec * BATCH_SIZE
+    eps_per_sec = steps_per_sec * IL_BATCH
 
     record = {
         "metric": "r2r_il_train_episodes_per_sec_per_chip",
         "value": round(eps_per_sec, 2),
         "unit": "episodes/s",
         "vs_baseline": round(eps_per_sec / ESTIMATED_REFERENCE_EPS, 3),
-        "batch_size": BATCH_SIZE,
+        "batch_size": IL_BATCH,
         "rng_impl": rng_impl,
     }
 
@@ -212,7 +227,7 @@ def main() -> None:
     # scan's While body only once (see _compiled_flops) — diagnostic
     # only.
     n_ob = cfg.env.max_candidates + 1 + 36
-    il_flops = analytic_update_flops(cfg, BATCH_SIZE, n_ob)
+    il_flops = analytic_update_flops(cfg, IL_BATCH, n_ob)
     record["flops_per_step"] = il_flops
     record["mfu"] = round(il_flops * steps_per_sec / peak_flops, 4)
     record["peak_flops"] = peak_flops
@@ -227,6 +242,14 @@ def main() -> None:
     except Exception as e:  # never let the measurement kill the bench
         record["mfu_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    if MEASURE_SAMPLE and SAMPLE_BATCH != IL_BATCH:
+        # the 'sample' envelope peaks at a different batch (its scan
+        # already runs 2B lanes); rebuild at SAMPLE_BATCH and let the
+        # old agent's buffers free first
+        del agent
+        agent = build_agent(SAMPLE_BATCH)
+        record["sample_batch_size"] = SAMPLE_BATCH
+
     if MEASURE_SAMPLE and agent._nav_tables is not None:
         out = agent.train_iteration("sample", sync=False)  # warmup/compile
         float(out["loss"])
@@ -236,13 +259,13 @@ def main() -> None:
         sample_loss = float(out["loss"])
         dt = time.perf_counter() - t0
         assert np.isfinite(sample_loss)
-        sample_eps = SAMPLE_STEPS / dt * BATCH_SIZE
+        sample_eps = SAMPLE_STEPS / dt * SAMPLE_BATCH
         record["sample_eps_per_sec"] = round(sample_eps, 2)
         record["sample_vs_baseline"] = round(
             sample_eps / ESTIMATED_REFERENCE_SAMPLE_EPS, 3)
         # the merged update runs IL + RL as 2B lanes through the SAME
         # per-step transformer (PARITY.md #18) -> ~2x the IL flops
-        s_flops = analytic_update_flops(cfg, 2 * BATCH_SIZE, n_ob)
+        s_flops = analytic_update_flops(cfg, 2 * SAMPLE_BATCH, n_ob)
         record["sample_flops_per_step"] = s_flops
         record["sample_mfu"] = round(
             s_flops * (SAMPLE_STEPS / dt) / peak_flops, 4)
