@@ -142,12 +142,19 @@ def main() -> None:
     # BENCH_REMAT=0 trades memory for a faster compile (ok at bs<=32 in
     # bf16 on 16GB).
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    # BENCH_REMAT_POLICY=dots saves matmul outputs across the scan-step
+    # remat boundary (recompute only elementwise/attention work) — see
+    # ModelConfig.remat_policy. Measured a net LOSS on v5e-16GB (OOM at
+    # IL 128; 127.3 vs 136.0 eps/s at 64 — BASELINE.md): full stays
+    # the default, the knob is for bigger-HBM parts.
+    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "full")
     # BENCH_PALLAS_ATTN=1 routes attention through the fused pallas
     # kernel (ops/attention.py), incl. in-kernel dropout for training.
     pallas_attn = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
     cfg = get_preset("r2r").replace(
         train={"batch_size": IL_BATCH},
         model={"dtype": "bfloat16", "remat": remat,
+               "remat_policy": remat_policy,
                "use_pallas_attention": pallas_attn},
     )
     # BENCH_ZERO_DROPOUT=1: rate-0 dropout short-circuits in flax (no

@@ -37,6 +37,7 @@ from .rollout import (
     _hist_mask,
     _make_ref_policy_core,
     _obj_angle_table,
+    remat_scan_body,
     step_key,
 )
 
@@ -161,7 +162,7 @@ def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
             hist_len = hist_len + x["live"].astype(jnp.int32)
             return (hist_cache, hist_len), (logits, obj_logits, state, value)
 
-        scan_body = jax.checkpoint(body) if cfg.remat else body
+        scan_body = remat_scan_body(body, cfg)
         (hist_cache, hist_len), (logits, obj_logits, states, values) = (
             jax.lax.scan(scan_body, (hist_cache, hist_len), xs)
         )

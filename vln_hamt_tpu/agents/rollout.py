@@ -51,6 +51,30 @@ def step_key(base: jax.Array, t) -> jax.Array:
     return jax.random.fold_in(base, t)
 
 
+def remat_scan_body(body, cfg: ModelConfig):
+    """Apply the configured rematerialization to an episode-scan body.
+
+    ``remat_policy="full"`` recomputes the whole step forward in the
+    backward pass (O(1) stored activations per step, ~4/3x FLOPs).
+    ``"dots"`` saves matmul outputs across the boundary
+    (``dots_with_no_batch_dims_saveable``) so the backward recomputes
+    only elementwise/attention work — numerically identical (the
+    recompute is deterministic, incl. dropout bits: keys are re-derived
+    from the same fold_in). Measured on the real v5e: "dots" is a net
+    LOSS at production shapes (HBM-traffic-bound, ModelConfig comment +
+    BASELINE.md), so "full" is the default.
+    """
+    if not cfg.remat:
+        return body
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    if cfg.remat_policy != "full":
+        raise ValueError(f"unknown remat_policy: {cfg.remat_policy!r}")
+    return jax.checkpoint(body)
+
+
 @dataclasses.dataclass
 class EpisodeOutputs:
     logits: jnp.ndarray  # (T, B, N) float32
@@ -208,7 +232,7 @@ def build_episode_forward(
             hist_len = hist_len + x["live"].astype(jnp.int32)
             return (hist_cache, hist_len), (logits, state, value)
 
-        scan_body = jax.checkpoint(body) if cfg.remat else body
+        scan_body = remat_scan_body(body, cfg)
         (hist_cache, hist_len), (logits, states, values) = jax.lax.scan(
             scan_body, (hist_cache, hist_len), xs
         )
@@ -800,7 +824,7 @@ def build_device_rollout(model: HAMT, critic: Critic, cfg: ModelConfig,
         # remat per step so the fused-update path (gradients THROUGH
         # this scan) has the same memory envelope as the replay scan;
         # free for the inference-only call (no backward is built)
-        scan_body = jax.checkpoint(body) if cfg.remat else body
+        scan_body = remat_scan_body(body, cfg)
         carry, ys = jax.lax.scan(scan_body, carry0, xs)
         ended, node, view = carry[0], carry[1], carry[2]
         (actions, logits, values, rewards, lives,

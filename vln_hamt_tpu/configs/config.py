@@ -75,6 +75,16 @@ class ModelConfig:
     use_pallas_attention: bool = False
     remat: bool = False  # jax.checkpoint each episode-scan step
     # (trades ~1 extra forward for O(T) -> O(1) stored activations)
+    remat_policy: str = "full"  # full | dots
+    # "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable —
+    # matmul outputs are SAVED across the scan step boundary and only
+    # elementwise/attention work is recomputed in the backward.
+    # Numerically identical to "full" (the recompute is deterministic;
+    # tests/test_remat_policy.py). MEASURED NET LOSS on v5e-16GB at
+    # production shapes (BASELINE.md): the saved (T,B,tok,768) bf16
+    # buffers OOM the chip at IL batch 128 and their HBM write/read
+    # traffic costs more than the recompute FLOPs they save at 64
+    # (127.3 vs 136.0 eps/s). Kept as a knob for bigger-HBM parts.
 
     @property
     def head_dim(self) -> int:

@@ -531,6 +531,12 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the episode scan (O(1) activations)")
+    p.add_argument("--remat_policy", default=None, choices=["full", "dots"],
+                   help="remat granularity (with --remat): 'full' "
+                        "recomputes the whole step backward-side; 'dots' "
+                        "saves matmul outputs and recomputes only "
+                        "elementwise/attention work (faster, more memory; "
+                        "numerically identical)")
     p.add_argument("--no_feat_table", action="store_true",
                    help="ship per-episode features instead of the "
                         "device-resident feature table")
@@ -603,6 +609,8 @@ def main(argv=None):
         cfg = cfg.replace(model={"dtype": "bfloat16"})
     if args.remat:
         cfg = cfg.replace(model={"remat": True})
+    if args.remat_policy is not None:
+        cfg = cfg.replace(model={"remat_policy": args.remat_policy})
     if args.tiny:
         cfg = cfg.replace(
             model={"hidden_size": 64, "num_attention_heads": 4,
