@@ -196,27 +196,44 @@ def main() -> None:
             os.environ.get("BENCH_MERGED", "1") == "1")
         return agent
 
+    def measure_il(agent, profile_dir: str = ""):
+        """Measured IL steps/sec (async dispatch, one trailing sync)."""
+        for _ in range(WARMUP_STEPS):
+            agent.train_iteration("teacher")
+        # BENCH_PROFILE=<dir>: capture a jax.profiler trace of the
+        # measured IL steps (xplane artifacts for the MFU gap analysis)
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(MEASURE_STEPS):
+            # async: device works on step k while the host assembles k+1
+            out = agent.train_iteration("teacher", sync=False)
+        final_loss = float(out["loss"])  # sync once at the end
+        dt = time.perf_counter() - t0
+        if profile_dir:
+            jax.profiler.stop_trace()
+        assert np.isfinite(final_loss)
+        return MEASURE_STEPS / dt
+
+    def measure_sample(agent, profile_dir: str = ""):
+        out = agent.train_iteration("sample", sync=False)  # warm/compile
+        float(out["loss"])
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        t0 = time.perf_counter()
+        for _ in range(SAMPLE_STEPS):
+            out = agent.train_iteration("sample", sync=False)
+        sample_loss = float(out["loss"])
+        dt = time.perf_counter() - t0
+        if profile_dir:
+            jax.profiler.stop_trace()
+        assert np.isfinite(sample_loss)
+        return SAMPLE_STEPS / dt
+
     agent = build_agent(IL_BATCH)
-    for _ in range(WARMUP_STEPS):
-        agent.train_iteration("teacher")
-
-    # BENCH_PROFILE=<dir>: capture a jax.profiler trace of the measured
-    # IL steps (xplane/trace-viewer artifacts for the MFU gap analysis)
     profile_dir = os.environ.get("BENCH_PROFILE", "")
-    if profile_dir:
-        jax.profiler.start_trace(profile_dir)
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(MEASURE_STEPS):
-        # async: the device works on step k while the host assembles k+1
-        out = agent.train_iteration("teacher", sync=False)
-    final_loss = float(out["loss"])  # sync once at the end
-    dt = time.perf_counter() - t0
-    if profile_dir:
-        jax.profiler.stop_trace()
-    assert np.isfinite(final_loss)
-
-    steps_per_sec = MEASURE_STEPS / dt
+    steps_per_sec = measure_il(agent, profile_dir)
     eps_per_sec = steps_per_sec * IL_BATCH
 
     record = {
@@ -224,6 +241,9 @@ def main() -> None:
         "value": round(eps_per_sec, 2),
         "unit": "episodes/s",
         "vs_baseline": round(eps_per_sec / ESTIMATED_REFERENCE_EPS, 3),
+        # the reference publishes NO throughput numbers; the divisor is
+        # the BASELINE.md estimate (20 IL / 10 sample eps/s on 1x V100)
+        "baseline_estimated": True,
         "batch_size": IL_BATCH,
         "rng_impl": rng_impl,
     }
@@ -238,14 +258,28 @@ def main() -> None:
     record["flops_per_step"] = il_flops
     record["mfu"] = round(il_flops * steps_per_sec / peak_flops, 4)
     record["peak_flops"] = peak_flops
+    # BENCH_DUMP_HLO=<prefix>: write the compiled module text (gzipped)
+    # for utils/xprof.py --hlo categorization of the profile traces
+    hlo_prefix = os.environ.get("BENCH_DUMP_HLO", "")
+
+    def dump_hlo(lowered, name):
+        import gzip
+
+        path = f"{hlo_prefix}_{name}.hlo.txt.gz"
+        with gzip.open(path, "wt") as f:
+            f.write(lowered.compile().as_text())
+        return path
+
     try:
         ep = agent._ep_to_device(agent.env.teacher_episode())
-        record["flops_per_step_xla_noscan"] = _compiled_flops(
-            agent._il_update.lower(
-                agent.state.params, agent.state.cparams,
-                agent.state.opt_state, agent.state.copt_state, ep,
-                jax.random.PRNGKey(0), cfg.train.teacher_weight,
-                agent._feat_table))
+        il_lowered = agent._il_update.lower(
+            agent.state.params, agent.state.cparams,
+            agent.state.opt_state, agent.state.copt_state, ep,
+            jax.random.PRNGKey(0), cfg.train.teacher_weight,
+            agent._feat_table)
+        record["flops_per_step_xla_noscan"] = _compiled_flops(il_lowered)
+        if hlo_prefix:
+            dump_hlo(il_lowered, "il")
     except Exception as e:  # never let the measurement kill the bench
         record["mfu_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -258,15 +292,11 @@ def main() -> None:
         record["sample_batch_size"] = SAMPLE_BATCH
 
     if MEASURE_SAMPLE and agent._nav_tables is not None:
-        out = agent.train_iteration("sample", sync=False)  # warmup/compile
-        float(out["loss"])
-        t0 = time.perf_counter()
-        for _ in range(SAMPLE_STEPS):
-            out = agent.train_iteration("sample", sync=False)
-        sample_loss = float(out["loss"])
-        dt = time.perf_counter() - t0
-        assert np.isfinite(sample_loss)
-        sample_eps = SAMPLE_STEPS / dt * SAMPLE_BATCH
+        # BENCH_PROFILE_SAMPLE=<dir>: trace the measured 'sample' steps
+        # (the second production envelope, VERDICT r4 #5)
+        sample_sps = measure_sample(
+            agent, os.environ.get("BENCH_PROFILE_SAMPLE", ""))
+        sample_eps = sample_sps * SAMPLE_BATCH
         record["sample_eps_per_sec"] = round(sample_eps, 2)
         record["sample_vs_baseline"] = round(
             sample_eps / ESTIMATED_REFERENCE_SAMPLE_EPS, 3)
@@ -275,7 +305,43 @@ def main() -> None:
         s_flops = analytic_update_flops(cfg, 2 * SAMPLE_BATCH, n_ob)
         record["sample_flops_per_step"] = s_flops
         record["sample_mfu"] = round(
-            s_flops * (SAMPLE_STEPS / dt) / peak_flops, 4)
+            s_flops * sample_sps / peak_flops, 4)
+        if hlo_prefix and agent.merged_sample_update:
+            try:
+                il_ep = agent._ep_to_device(agent.env.teacher_episode())
+                agent._ensure_device_rollout_fn()
+                ins, tkeys = agent._device_rollout_args()
+                rins = {k: ins[k] for k in ("txt_ids", "txt_mask",
+                                            "start_node", "start_view",
+                                            "offs")}
+                rins["task_inputs"] = {k: ins[k] for k in tkeys}
+                st = agent.state
+                dump_hlo(agent._merged_sample_update.lower(
+                    st.params, st.cparams, st.opt_state, st.copt_state,
+                    il_ep, cfg.train.ml_weight, rins,
+                    jax.random.PRNGKey(0), agent._feat_table,
+                    agent._nav_tables), "sample")
+            except Exception as e:
+                record["hlo_dump_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # ---- companion run under the CONFIG-DEFAULT threefry dropout RNG
+    # (rbg is the bench/production throughput knob but threefry is what
+    # exact-reproducibility runs use — VERDICT r4 Weak #2 asked for
+    # both in the round artifact; compiles are cached so this is cheap).
+    # BENCH_BOTH_RNG=0 skips.
+    if (rng_impl == "rbg"
+            and os.environ.get("BENCH_BOTH_RNG", "1") == "1"):
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+        del agent
+        agent = build_agent(IL_BATCH)
+        record["il_eps_threefry"] = round(measure_il(agent) * IL_BATCH, 2)
+        if MEASURE_SAMPLE:
+            if SAMPLE_BATCH != IL_BATCH:
+                del agent
+                agent = build_agent(SAMPLE_BATCH)
+            if agent._nav_tables is not None:
+                record["sample_eps_threefry"] = round(
+                    measure_sample(agent) * SAMPLE_BATCH, 2)
 
     print(json.dumps(record))
 

@@ -123,7 +123,13 @@ fi
   exit 2
 }
 
-# Stage 1 — ViT panorama features (skip when an HDF5 is already given)
+# Stage 1 — ViT panorama features (skip when an HDF5 is already given).
+# The CLI defaults are reference-faithful since round 5: render 640x480
+# at VFOV 60, bicubic resize shorter-side->248, center-crop 224,
+# normalize mean=std=0.5 (the timm config of the reference extractor,
+# precompute_img_features_vit.py:37-52) — features regenerated here are
+# interchangeable with reference-extracted ones
+# (tests/test_image_transform.py golden-pins the transform).
 if [[ -z "$IMG_FT_FILE" ]]; then
   [[ -n "$PANO_DIR" && -n "$VIT_CKPT" ]] || {
     echo "need --img_ft_file, or --pano_dir + --vit_ckpt to extract" >&2

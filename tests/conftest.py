@@ -19,9 +19,39 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: CPU jit compiles of the episode scans
+# cost 1-4 min EACH; re-runs of an unchanged program (cache keys hash
+# the HLO) hit the disk cache instead. Shared with the mp workers.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np
 import pytest
+
+# ---------------------------------------------------------------------
+# Test tiers (VERDICT r4 #7). Whole-module assignment; explicit
+# @pytest.mark.fast / .core on individual tests elsewhere also works.
+#   fast: < 1 min total — pure-python / numpy / tiny-jit tests
+#   core: < ~15 min — adds model forwards + torch-parity suites
+#   full: everything (the mp / agent / CLI monsters), no -m filter
+_FAST_MODULES = {
+    "test_env.py", "test_data.py", "test_metrics.py", "test_native.py",
+    "test_optim.py", "test_xprof.py", "test_image_transform.py",
+}
+_HEAVY_MODULES = {  # excluded from core: multi-minute jit/mp/CLI suites
+    "test_agent.py", "test_variant_agents.py", "test_image_pretrain.py",
+    "test_parallel.py", "test_multiprocess.py", "test_cli.py",
+    "test_ops_vision.py", "test_pretrain.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+        if fname not in _HEAVY_MODULES:
+            item.add_marker(pytest.mark.core)
 
 
 @pytest.fixture(scope="session")

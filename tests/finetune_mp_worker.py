@@ -20,6 +20,9 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache shared with conftest (test-tier speedup)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
 def main() -> None:

@@ -71,6 +71,41 @@ def test_pretrain_cli_synthetic(tmp_path, capsys):
     printed = capsys.readouterr().out
     assert json.loads(printed.strip().splitlines()[-1])["final_step"] == 4
     assert os.path.exists(os.path.join(out, "model_step_4.pkl"))
+    # dual seen/unseen validation streams (main_r2r.py:303-308): both
+    # setnames are validated per task at every valid point
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    keys = {k for r in recs for k in r}
+    for name in ("seen", "unseen"):
+        for task in ("sap", "sar"):
+            assert any(k.startswith(f"val_{name}/{task}/") for k in keys), (
+                name, task, keys)
+
+
+def test_val_spec_parsing():
+    """--val_traj_files accepts plain paths or name=path pairs."""
+    from vln_hamt_tpu.run.pretrain import parse_val_specs
+
+    assert parse_val_specs(["a.jsonl", "b.jsonl"]) == {
+        "val": ["a.jsonl", "b.jsonl"]}
+    assert parse_val_specs(
+        ["seen=a.jsonl", "unseen=b.jsonl", "seen=c.jsonl"]) == {
+        "seen": ["a.jsonl", "c.jsonl"], "unseen": ["b.jsonl"]}
+
+
+@pytest.mark.slow
+def test_pretrain_cli_rxr_preset(tmp_path, capsys):
+    """--preset rxr (pretrain_rxr.json): candidate-first observations,
+    xlmr-style config, no MRC in the default task set."""
+    from vln_hamt_tpu.run.pretrain import main
+
+    out = str(tmp_path / "rxr")
+    main(["--preset", "rxr", "--synthetic", "--tiny", "--num_steps", "2",
+          "--valid_steps", "2", "--batch_size", "2", "--max_hist_len", "3",
+          "--max_txt_len", "16", "--tasks", "sap", "sar",
+          "--mix_ratio", "1", "1", "--output_dir", out])
+    printed = capsys.readouterr().out
+    assert json.loads(printed.strip().splitlines()[-1])["final_step"] == 2
 
 
 @pytest.mark.slow

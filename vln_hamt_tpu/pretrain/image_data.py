@@ -58,7 +58,17 @@ class LMDBPanoImageStore(PanoImageStore):
         key = f"{scan}_{viewpoint}".encode("ascii")
         with self.env.begin() as txn:
             buf = txn.get(key)
+        if buf is None:
+            raise KeyError(f"no LMDB record for {scan}_{viewpoint}")
         h, w = self.image_size
+        expected = NUM_VIEWS * h * w * 3
+        if len(buf) != expected:
+            raise ValueError(
+                f"LMDB record {scan}_{viewpoint} holds {len(buf)} bytes but "
+                f"image_size=({h}, {w}) implies (36, {h}, {w}, 3) = "
+                f"{expected}; the reference store is (36, 248, 330, 3) "
+                f"(image_data.py:20-22) — pass the store's true size and "
+                f"let the ImageTransform produce the ViT input size")
         return np.frombuffer(buf, dtype=np.uint8).reshape(NUM_VIEWS, h, w, 3)
 
 
@@ -83,12 +93,27 @@ class ImagePretrainBatcher(PretrainBatcher):
     """
 
     def __init__(self, dataset: TrajectoryDataset, image_store: PanoImageStore,
-                 **kwargs):
+                 transform=None, **kwargs):
+        """``transform``: optional host-side uint8 image transform
+        (vision.transforms.ImageTransform) applied to every store
+        fetch — the reference applies the timm pipeline between LMDB
+        and the ViT (image_data.py:70-80, 225-237); without it raw
+        store-size pixels feed the ViT directly (hermetic tests)."""
         super().__init__(dataset, **kwargs)
         self.image_store = image_store
+        self.transform = transform
+
+    def _get_views(self, scan: str, viewpoint: str) -> np.ndarray:
+        views = self.image_store.get(scan, viewpoint)
+        if self.transform is not None:
+            views = self.transform(views)
+        return views
 
     def _attach_images(self, b: Dict[str, np.ndarray], refs, step_mode: bool):
-        h, w = self.image_store.image_size
+        if self.transform is not None:
+            h = w = self.transform.out_size
+        else:
+            h, w = self.image_store.image_size
         bs = len(refs)
         t_max = self.ds.max_hist_len
         pano = np.zeros((bs, t_max, NUM_VIEWS, h, w, 3), np.uint8)
@@ -97,10 +122,10 @@ class ImagePretrainBatcher(PretrainBatcher):
         for i, (i_traj, j_instr, t_cur) in enumerate(refs):
             rec = self.ds.records[i_traj]
             for t in range(min(t_cur, t_max)):
-                pano[i, t] = self.image_store.get(rec.scan, rec.path[t])
+                pano[i, t] = self._get_views(rec.scan, rec.path[t])
                 vidx[i, t] = rec.path_viewindex[t]
             if step_mode:
-                ob_imgs[i] = self.image_store.get(rec.scan, rec.path[t_cur])
+                ob_imgs[i] = self._get_views(rec.scan, rec.path[t_cur])
         b["hist_pano_images"] = pano
         b["hist_viewindex"] = vidx
         if step_mode:

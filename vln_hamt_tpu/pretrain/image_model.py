@@ -42,13 +42,17 @@ class HAMTImagePretrain(nn.Module):
 
     def _encode_views(self, images: jnp.ndarray, deterministic: bool,
                       with_grad: bool) -> jnp.ndarray:
-        """(..., H, W, 3) uint8/float -> (..., D) ViT features."""
+        """(..., H, W, 3) uint8/float -> (..., D) ViT features.
+
+        Normalization = the reference ViT data config's mean=std=0.5
+        (vision_transformer.py:58; applied by the timm transform at
+        image_data.py:70-80) — the geometric stages (resize/crop) run
+        host-side in ImagePretrainBatcher's ImageTransform."""
+        from ..vision.transforms import normalize_images
+
         lead = images.shape[:-3]
         flat = images.reshape((-1,) + images.shape[-3:])
-        flat = flat.astype(jnp.float32) / 255.0
-        mean = jnp.asarray((0.485, 0.456, 0.406))
-        std = jnp.asarray((0.229, 0.224, 0.225))
-        flat = (flat - mean) / std
+        flat = normalize_images(flat)
 
         def run(x):
             feats, _ = self.vit(x, deterministic=deterministic,

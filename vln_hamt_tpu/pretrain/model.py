@@ -430,21 +430,31 @@ def expand_index_batch(batch: Dict[str, jnp.ndarray], feat_table,
 
     if "ob_node" in b:
         on = b.pop("ob_node")  # (B,)
-        ov = b.pop("ob_view")
         n_b = on.shape[0]
         views = feat_table[on][..., :d]  # (B, 36, D)
         stop = jnp.zeros((n_b, 1, d), views.dtype)
-        ob_img = jnp.concatenate([views, stop], axis=1)
-        ob_ang = jnp.concatenate(
-            [ang_tab[ov],
-             jnp.zeros((n_b, 1, cfg.angle_feat_size), ang_tab.dtype)],
-            axis=1)
+        if "ob_perm" in b:
+            # candidate-first layout (ob_cand_arrays): gather the 37
+            # [views | zero] rows by the host permutation; angles,
+            # nav types and masks ship from the host (the candidate
+            # slots' exact edge angles aren't table lookups)
+            perm = b.pop("ob_perm")  # (B, W) in [0, 36]
+            padded = jnp.concatenate([views, stop], axis=1)
+            ob_img = jnp.take_along_axis(padded, perm[..., None], axis=1)
+            ob_ang = b["ob_ang"].astype(ang_tab.dtype)
+        else:
+            ov = b.pop("ob_view")
+            ob_img = jnp.concatenate([views, stop], axis=1)
+            ob_ang = jnp.concatenate(
+                [ang_tab[ov],
+                 jnp.zeros((n_b, 1, cfg.angle_feat_size), ang_tab.dtype)],
+                axis=1)
+            b["ob_mask"] = jnp.ones((n_b, ob_img.shape[1]), bool)
         kv, ka = b.pop("ob_kill_v"), b.pop("ob_kill_a")
         ob_img = jnp.where(kv[:, None, None], 0, ob_img)
         ob_ang = jnp.where(ka[:, None, None], 0, ob_ang)
         b["ob_img"] = ob_img
         b["ob_ang"] = ob_ang
-        b["ob_mask"] = jnp.ones((n_b, ob_img.shape[1]), bool)
     return b
 
 

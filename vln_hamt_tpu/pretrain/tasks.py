@@ -85,7 +85,12 @@ class PretrainBatcher:
         return exs
 
     def _step_examples(self, batch_size: int, want_ob: bool = True,
-                       want_progress: bool = False, refs=None):
+                       want_progress: bool = False, refs=None,
+                       ob_layout: Optional[str] = None):
+        """``ob_layout='pano'`` pins the pano layout regardless of the
+        dataset flag — SpRel always uses it (r2r_tasks.py:514-517,
+        ``ob_cand_pano_view=False``); SAP/SAR follow the dataset
+        config (r2r_tasks.py:308-310, 401-403)."""
         if refs is None:
             refs = [
                 self.ds.traj_step_refer[
@@ -99,7 +104,10 @@ class PretrainBatcher:
             ex.update(self.ds.txt_arrays(rec, j))
             ex.update(self.ds.history_arrays(rec, t))
             if want_ob:
-                ex.update(self.ds.ob_pano_arrays(rec, t))
+                if ob_layout == "pano":
+                    ex.update(self.ds.ob_pano_arrays(rec, t))
+                else:
+                    ex.update(self.ds.ob_arrays(rec, t))
                 # random visual/angle kill regularizer (r2r_tasks.py:320-327).
                 # Index mode ships the kill BITS (same rng draw order)
                 # and the device expansion applies them.
@@ -226,7 +234,8 @@ class PretrainBatcher:
                                                    refs=refs))
 
         if task == "sprel":
-            exs = self._step_examples(batch_size, refs=refs)
+            exs = self._step_examples(batch_size, refs=refs,
+                                      ob_layout="pano")
             b = self._stack(exs)
             anchors = self.rng.integers(0, NUM_VIEWS, batch_size)
             b["sp_anchor_idxs"] = anchors.astype(np.int32)

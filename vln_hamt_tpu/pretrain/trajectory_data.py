@@ -11,9 +11,20 @@ hermetically.
 Shape policy (TPU): every example is padded to ``max_hist_len`` history
 steps at assembly time — the reference pads per batch to the batch max
 (``r2r_tasks.py`` collates), which produces data-dependent shapes.
-Observations use the pano layout: 36 views + STOP = 37 fixed tokens
-(``get_ob_pano_view``, r2r_data.py:204-220), with candidates marked by
-nav type rather than reordered.
+
+Observations come in the reference's two layouts
+(``r2r_data.py:180-188``, selected by ``ob_cand_pano_view``):
+
+- pano (default): 36 views + STOP = 37 fixed tokens
+  (``get_ob_pano_view``, r2r_data.py:204-220), candidates marked by
+  nav type rather than reordered;
+- candidate-first (``get_ob_cand_pano_view``, r2r_data.py:222-261,
+  required by ``config/pretrain_rxr.json:31``): candidate views first
+  with exact edge angles, then STOP, then the non-candidate views;
+  the SAP label becomes the candidate SLOT index. Width is padded to
+  ``NUM_VIEWS + 1 + ob_cand_extra`` (two candidates may share a
+  discretized view, making the token count data-dependent — the
+  reference pads per batch; we pad to a static cap and mask).
 """
 
 from __future__ import annotations
@@ -122,6 +133,8 @@ class TrajectoryDataset:
         max_txt_len: int = 80,
         max_hist_len: int = 8,  # max history steps (reference caps at 30)
         hist_enc_pano: bool = True,
+        ob_cand_pano_view: bool = False,
+        ob_cand_extra: int = 4,
     ):
         self.records = records
         self.graphs = graphs
@@ -132,6 +145,8 @@ class TrajectoryDataset:
         self.max_txt_len = max_txt_len
         self.max_hist_len = max_hist_len
         self.hist_enc_pano = hist_enc_pano
+        self.ob_cand_pano_view = ob_cand_pano_view
+        self.ob_cand_extra = ob_cand_extra
         self.angle_table = all_point_angle_feature(angle_feat_size)  # (36,36,A)
         #: scan -> global feature-table row offset; set via
         #: :meth:`set_feat_offsets` to switch example assembly to
@@ -253,6 +268,107 @@ class TrajectoryDataset:
         ob_ang[:NUM_VIEWS] = self.angle_table[vidx]
         out.update(ob_img=ob_img, ob_ang=ob_ang,
                    ob_mask=np.ones((n,), bool))
+        return out
+
+    @property
+    def ob_width(self) -> int:
+        """Static observation token count for the configured layout."""
+        return NUM_VIEWS + 1 + (self.ob_cand_extra
+                                if self.ob_cand_pano_view else 0)
+
+    def ob_arrays(self, rec: TrajRecord, t_cur: int) -> Dict[str, np.ndarray]:
+        """Layout dispatch (r2r_data.py:180-188)."""
+        if self.ob_cand_pano_view:
+            return self.ob_cand_arrays(rec, t_cur)
+        return self.ob_pano_arrays(rec, t_cur)
+
+    def ob_cand_arrays(self, rec: TrajRecord, t_cur: int) -> Dict[str, np.ndarray]:
+        """Candidate-first observation at step t_cur
+        (``get_ob_cand_pano_view``, r2r_data.py:222-261): candidate
+        views first — features from the candidate's discretized view,
+        angle features from the EXACT edge angles relative to the
+        current base heading — then a zero STOP token, then the
+        non-candidate pano views. The SAP label is the candidate slot
+        index (STOP = slot C). Candidate order follows the graph's
+        neighbor tables where the reference follows its precomputed
+        ``scanvp_cands`` JSON's key order — a per-viewpoint
+        permutation of the same candidate set, with the label
+        permuted consistently.
+
+        Index mode ships ``ob_perm`` (slot -> source view, 36 = the
+        zero row) + host-computed ``ob_ang``/``ob_nav``/``ob_mask``;
+        the device expansion gathers features by the permutation.
+        """
+        g = self.graphs[rec.scan]
+        vp = rec.path[t_cur]
+        node = g.index(vp)
+        vidx = int(rec.path_viewindex[t_cur])
+        base_heading = float(view_heading(vidx))
+
+        nbr_slots = np.nonzero(g.nbr_index[node] >= 0)[0]
+        cand_pids = g.nbr_point_id[node, nbr_slots].astype(np.int64)
+        n_cand = len(nbr_slots)
+        # exact candidate angles rel. the base heading (the reference's
+        # rel_angles[vidx][pid] + scanvp_cands offsets telescope to
+        # exact_heading - base_heading, exact_elevation)
+        cand_ang = angle_features(
+            standardize_radians(g.nbr_heading[node, nbr_slots] - base_heading),
+            g.nbr_elevation[node, nbr_slots], self.angle_feat_size,
+        ).reshape(n_cand, self.angle_feat_size)
+
+        non_cand = np.ones((NUM_VIEWS,), bool)
+        non_cand[cand_pids] = False
+        nc_views = np.nonzero(non_cand)[0]
+
+        w = self.ob_width
+        total = n_cand + 1 + len(nc_views)
+        if total > w:
+            raise ValueError(
+                f"candidate-first layout needs {total} ob tokens at "
+                f"{rec.scan}/{vp} (C={n_cand}, {len(nc_views)} non-cand) "
+                f"but ob_cand_extra={self.ob_cand_extra} caps the width "
+                f"at {w}; raise TrajectoryDataset(ob_cand_extra=...)")
+
+        ob_nav = np.zeros((w,), np.int32)
+        ob_nav[:n_cand] = 1
+        ob_nav[n_cand] = 2
+        ob_mask = np.zeros((w,), bool)
+        ob_mask[:total] = True
+        ob_ang = np.zeros((w, self.angle_feat_size), np.float32)
+        ob_ang[:n_cand] = cand_ang
+        ob_ang[n_cand + 1 : total] = self.angle_table[vidx][nc_views]
+
+        # SAP gt: the slot of the candidate leading to path[t+1]
+        # (r2r_data.py:233-235), STOP slot C otherwise (:258-260)
+        gt_label = n_cand
+        gt_angle = np.zeros((2,), np.float32)
+        if (t_cur < len(rec.path) - 1
+                and rec.action_viewindex[t_cur] != -1):
+            nxt = g.index(rec.path[t_cur + 1])
+            hits = np.nonzero(g.nbr_index[node, nbr_slots] == nxt)[0]
+            if len(hits):
+                gt_label = int(hits[0])
+                gt_angle = standardize_radians(rec.rel_act_angles[t_cur])
+
+        out = {
+            "ob_nav": ob_nav,
+            "ob_mask": ob_mask,
+            "ob_ang": ob_ang,
+            "ob_action_viewindex": np.int32(gt_label),
+            "ob_action_angles": np.asarray(gt_angle, np.float32),
+        }
+        # slot -> source view permutation; 36 = the zero row (STOP/pad)
+        perm = np.full((w,), NUM_VIEWS, np.int32)
+        perm[:n_cand] = cand_pids
+        perm[n_cand + 1 : total] = nc_views
+        if self.feat_offsets is not None:
+            out["ob_node"] = np.int32(self.feat_offsets[rec.scan] + node)
+            out["ob_perm"] = perm
+            return out
+        fts = self._features(rec.scan, vp)[:, : self.image_feat_size]
+        padded = np.concatenate(
+            [fts, np.zeros((1, self.image_feat_size), fts.dtype)], axis=0)
+        out["ob_img"] = padded[perm].astype(np.float32)
         return out
 
     def progress(self, rec: TrajRecord, t_cur: int) -> float:

@@ -55,7 +55,31 @@ def parse_args(argv=None):
     p.add_argument("--mix_ratio", nargs="+", type=float,
                    default=list(DEFAULT_MIX))
     p.add_argument("--image_size", type=int, nargs=2,
-                   default=list(DEFAULT_IMAGE_SIZE))
+                   default=list(DEFAULT_IMAGE_SIZE),
+                   help="STORE record size (the reference LMDB is "
+                        "248x330, image_data.py:20-22); the ViT input "
+                        "size is --vit_image_size via the transform")
+    p.add_argument("--vit_image_size", type=int, default=224,
+                   help="ViT input resolution the transform produces")
+    p.add_argument("--transform", default="timm", choices=["timm", "none"],
+                   help="'timm': the reference pipeline between store "
+                        "and ViT (image_data.py:70-80) — train stream "
+                        "RandomResizedCrop+flip, val stream bicubic "
+                        "resize+center-crop at crop_pct 0.9, mean/std "
+                        "0.5; 'none': raw store-size pixels straight "
+                        "into the ViT (hermetic smoke tests)")
+    p.add_argument("--hflip", type=float, default=0.5,
+                   help="train-stream horizontal-flip prob (timm "
+                        "create_transform default)")
+    p.add_argument("--re_prob", type=float, default=0.0,
+                   help="train-stream random-erasing prob "
+                        "(image_data.py:39 default 0.0)")
+    p.add_argument("--re_mode", default="const", choices=["const", "rand"],
+                   help="random-erasing fill mode (image_data.py:38)")
+    p.add_argument("--auto_augment", default=None,
+                   help="NOT implemented (reference default None, "
+                        "image_data.py:37); a non-None value raises — "
+                        "see PARITY.md")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="small model + small images (smoke tests/demos)")
@@ -109,7 +133,11 @@ def main(argv=None):
 
     apply_rng_impl(args.rng_impl)
     mcfg = get_preset("r2r").model
-    vit_kwargs = dict(img_size=tuple(args.image_size),
+    # the ViT sees --vit_image_size crops (the transform's output);
+    # --image_size is the raw store record size (reference 248x330)
+    vit_hw = ((args.vit_image_size,) * 2 if args.transform == "timm"
+              else tuple(args.image_size))
+    vit_kwargs = dict(img_size=vit_hw,
                       dtype="bfloat16" if args.bf16 else "float32")
     if args.bf16:
         mcfg = dataclasses.replace(mcfg, dtype="bfloat16")
@@ -118,8 +146,11 @@ def main(argv=None):
             mcfg, hidden_size=64, num_attention_heads=4,
             intermediate_size=128, num_l_layers=2, num_x_layers=1,
             num_h_pano_layers=1, image_feat_size=48, image_prob_size=16,
-            max_position_embeddings=128, max_action_steps=32,
+            # must cover max_txt_len (OOB position lookups NaN-fill)
+            max_position_embeddings=max(128, args.max_txt_len + 2),
+            max_action_steps=32,
         )
+        args.transform = "none"
         args.image_size = (32, 32)
         vit_kwargs.update(img_size=(32, 32), patch_size=16,
                           hidden_size=48, num_layers=2, num_heads=4,
@@ -132,12 +163,12 @@ def main(argv=None):
     vit_cfg = ViTConfig(**vit_kwargs)
 
     if args.synthetic:
-        train_ds, val_ds = build_synthetic(args, mcfg)
+        train_ds, val_dss = build_synthetic(args, mcfg)
         store = SyntheticPanoImageStore(tuple(args.image_size))
     else:
         assert args.train_traj_files and args.img_ft_file and args.connectivity_dir
         assert args.lmdb_path or args.npy_dir, "need a panorama store"
-        train_ds, val_ds = build_real(args, mcfg)
+        train_ds, val_dss = build_real(args, mcfg)
         store = (LMDBPanoImageStore(args.lmdb_path, tuple(args.image_size))
                  if args.lmdb_path
                  else NpyDirPanoImageStore(args.npy_dir,
@@ -147,9 +178,26 @@ def main(argv=None):
 
     rank_off = (_jax.process_index()
                 if (args.sharded_feed and _jax.process_count() > 1) else 0)
-    batcher = ImagePretrainBatcher(train_ds, store,
+    train_tf = val_tf = None
+    if args.transform == "timm":
+        from ..vision.transforms import ImageTransform
+
+        # train stream = timm is_training pipeline, val stream =
+        # deterministic resize+crop (image_data.py:70-80 + the
+        # is_training flags at main_r2r_image.py:149,162)
+        train_tf = ImageTransform(
+            out_size=args.vit_image_size, train=True, hflip=args.hflip,
+            re_prob=args.re_prob, re_mode=args.re_mode,
+            auto_augment=args.auto_augment,
+            seed=args.seed + 7000 + 1000 * rank_off)
+        val_tf = ImageTransform(out_size=args.vit_image_size, train=False)
+    batcher = ImagePretrainBatcher(train_ds, store, transform=train_tf,
                                    seed=args.seed + 1000 * rank_off)
-    val_batcher = ImagePretrainBatcher(val_ds, store, seed=args.seed + 1)
+    # dual val streams (main_r2r_image.py builds val + val2 databases,
+    # :151-176) — one batcher per named stream
+    val_batchers = {name: ImagePretrainBatcher(ds, store, transform=val_tf,
+                                               seed=args.seed + 1)
+                    for name, ds in val_dss.items()}
     aug_batcher = None
     if args.aug_traj_files:
         from ..pretrain.trajectory_data import (
@@ -163,7 +211,7 @@ def main(argv=None):
             image_feat_size=mcfg.image_feat_size,
             image_prob_size=mcfg.image_prob_size,
             max_txt_len=args.max_txt_len, max_hist_len=args.max_hist_len)
-        aug_batcher = ImagePretrainBatcher(aug_ds, store,
+        aug_batcher = ImagePretrainBatcher(aug_ds, store, transform=train_tf,
                                            seed=args.seed + 2)
 
     model, params = init_image_pretrain_params(
@@ -259,9 +307,12 @@ def main(argv=None):
                 f"{task}/{k}": float(_np.asarray(v))
                 for k, v in aux.items()}})
         if (step + 1) % args.valid_steps == 0 or step + 1 == args.num_steps:
-            val = trainer.validate(val_batcher)
-            flat = {f"val/{t}/{k}": v for t, stats in val.items()
-                    for k, v in stats.items()}
+            flat = {}
+            for name, vb in val_batchers.items():
+                val = trainer.validate(vb)
+                flat.update({f"val_{name}/{t}/{k}": v
+                             for t, stats in val.items()
+                             for k, v in stats.items()})
             logger.log(step + 1, flat)
             trainer.save(os.path.join(args.output_dir,
                                       f"model_step_{step + 1}.pkl"))

@@ -9,6 +9,11 @@ process per worker, each owning a rendering MatterSim; here:
   on host threads, fed from a directory of equirectangular panoramas
   (``{scan}_{viewpoint}.jpg|png|npy``) — covering MatterSim's only
   rendering role (SURVEY §2.2);
+- the reference image geometry END TO END: render 640x480 at VFOV 60
+  (precompute_img_features_vit.py:37-39) then the timm eval transform
+  — bicubic resize shorter-side -> floor(224/0.9)=248, center-crop
+  224, normalize mean=std=0.5 (vision/transforms.py) — so features
+  produced here are interchangeable with reference-extracted ones;
 - inference: one jitted bf16 ViT on TPU over batched panoramas with
   async dispatch overlap.
 
@@ -51,10 +56,11 @@ def _load_equirect(path: str) -> np.ndarray:
 
 
 def equirect_view_source(pano_dir: str, viewpoint_ids, width: int,
-                         height: int, vfov: float,
-                         workers: int = 4) -> Iterator[Tuple[str, str, np.ndarray]]:
+                         height: int, vfov: float, workers: int = 4,
+                         transform=None) -> Iterator[Tuple[str, str, np.ndarray]]:
     """Sample 36 views per viewpoint with the native sampler, using a
-    thread pool so view synthesis overlaps device inference."""
+    thread pool so view synthesis (and the host-side timm transform)
+    overlaps device inference."""
     from ..native import sample_panorama
 
     def job(sv):
@@ -63,18 +69,23 @@ def equirect_view_source(pano_dir: str, viewpoint_ids, width: int,
             p = os.path.join(pano_dir, f"{scan}_{vp}{ext}")
             if os.path.exists(p):
                 eq = _load_equirect(p)
-                return scan, vp, sample_panorama(eq, vfov, width, height)
+                views = sample_panorama(eq, vfov, width, height)
+                if transform is not None:
+                    views = transform(views)
+                return scan, vp, views
         raise FileNotFoundError(f"no panorama for {scan}_{vp} in {pano_dir}")
 
     with ThreadPoolExecutor(workers) as pool:
         yield from pool.map(job, viewpoint_ids)
 
 
-def synthetic_view_source(n: int, width: int, height: int):
+def synthetic_view_source(n: int, width: int, height: int, transform=None):
     rng = np.random.default_rng(0)
     for i in range(n):
-        yield ("synthscan", f"vp{i:05d}",
-               rng.integers(0, 255, (36, height, width, 3), dtype=np.uint8))
+        views = rng.integers(0, 255, (36, height, width, 3), dtype=np.uint8)
+        if transform is not None:
+            views = transform(views)
+        yield ("synthscan", f"vp{i:05d}", views)
 
 
 def main(argv=None):
@@ -85,7 +96,20 @@ def main(argv=None):
                    help="dir of equirect panoramas {scan}_{vp}.{npy,jpg,png}")
     p.add_argument("--synthetic", type=int, default=0,
                    help="featurize N synthetic viewpoints instead")
-    p.add_argument("--image_size", type=int, nargs=2, default=(224, 224))
+    p.add_argument("--image_size", type=int, nargs=2, default=(224, 224),
+                   help="ViT input size (after the transform)")
+    p.add_argument("--render_size", type=int, nargs=2, default=(480, 640),
+                   help="(H, W) the 36 views are rendered at before the "
+                        "transform — the reference renders 640x480 "
+                        "(precompute_img_features_vit.py:37-38)")
+    p.add_argument("--transform", default="timm", choices=["timm", "none"],
+                   help="'timm': bicubic resize shorter->floor(224/0.9), "
+                        "center-crop 224, mean/std 0.5 (the reference's "
+                        "resolve_data_config pipeline); 'none': render "
+                        "directly at --image_size and normalize with "
+                        "ImageNet stats (pre-round-5 behavior, NOT "
+                        "checkpoint-compatible)")
+    p.add_argument("--crop_pct", type=float, default=0.9)
     p.add_argument("--vfov_deg", type=float, default=60.0)
     p.add_argument("--panos_per_batch", type=int, default=4)
     p.add_argument("--bf16", action="store_true", default=True)
@@ -105,7 +129,8 @@ def main(argv=None):
     import jax
 
     from ..vision import PanoramaFeaturizer, init_vit_params, vit_base_patch16
-    from ..vision.featurizer import hdf5_writer
+    from ..vision.featurizer import IMAGENET_MEAN, IMAGENET_STD, hdf5_writer
+    from ..vision.transforms import eval_transform
 
     h, w = args.image_size
     model = vit_base_patch16(img_size=(h, w),
@@ -116,17 +141,28 @@ def main(argv=None):
         params = load_vit_checkpoint(args.vit_ckpt, model)
     else:
         params = init_vit_params(model, jax.random.PRNGKey(0))
+
+    if args.transform == "timm":
+        assert h == w, "--transform timm produces square crops"
+        transform = lambda views: eval_transform(views, h, args.crop_pct)
+        rh, rw = args.render_size
+        norm = {}  # featurizer default: the reference's mean=std=0.5
+    else:
+        transform = None
+        rh, rw = h, w
+        norm = dict(mean=IMAGENET_MEAN, std=IMAGENET_STD)
     feat = PanoramaFeaturizer(model, params,
-                              panos_per_batch=args.panos_per_batch)
+                              panos_per_batch=args.panos_per_batch, **norm)
 
     if args.synthetic:
-        source = synthetic_view_source(args.synthetic, w, h)
+        source = synthetic_view_source(args.synthetic, rw, rh, transform)
         total = args.synthetic
     else:
         assert args.connectivity_dir and args.pano_dir
         vps = load_viewpoint_ids(args.connectivity_dir)
-        source = equirect_view_source(args.pano_dir, vps, w, h,
-                                      np.deg2rad(args.vfov_deg))
+        source = equirect_view_source(args.pano_dir, vps, rw, rh,
+                                      np.deg2rad(args.vfov_deg),
+                                      transform=transform)
         total = len(vps)
 
     # warm up the jitted ViT so the (minutes-long, one-time) XLA compile

@@ -29,9 +29,27 @@ from ..utils.logging import MetricsLogger
 # pretrain_r2r.json task mix (config/pretrain_r2r.json:45-60)
 DEFAULT_TASKS = ("mlm", "mrc", "itm", "sap", "sar", "sprel")
 DEFAULT_MIX = (5, 1, 1, 1, 2, 2)
+# pretrain_rxr.json: xlmr text / CLIP 512-d feats (no prob tail, so no
+# MRC), candidate-first observations, 250-token instructions (:7,31-55)
+RXR_TASKS = ("mlm", "sap", "sar", "sprel", "itm")
+RXR_MIX = (5, 1, 1, 1, 2)
+
+
+def parse_val_specs(entries):
+    """``--val_traj_files`` entries: plain paths (one stream named
+    'val') or ``name=path`` pairs (repeat a name to add files) — the
+    reference validates val_seen AND val_unseen every valid_steps with
+    per-setname metrics (main_r2r.py:155-198, 303-308)."""
+    out = {}
+    for e in entries:
+        name, _, path = e.rpartition("=")
+        out.setdefault(name or "val", []).append(path)
+    return out
 
 
 def build_synthetic(args, mcfg: ModelConfig):
+    """Hermetic world; the val remainder splits into seen/unseen
+    streams mirroring the reference's dual validation sets."""
     world = make_synthetic_world(
         num_scans=2, nodes_per_scan=20, num_items=64,
         feat_dim=mcfg.image_feat_size + mcfg.image_prob_size, seed=args.seed,
@@ -43,8 +61,13 @@ def build_synthetic(args, mcfg: ModelConfig):
         image_feat_size=mcfg.image_feat_size,
         image_prob_size=mcfg.image_prob_size,
         max_txt_len=args.max_txt_len, max_hist_len=args.max_hist_len,
+        ob_cand_pano_view=getattr(args, "ob_cand_pano_view", False) or False,
+        ob_cand_extra=getattr(args, "ob_cand_extra", 4),
     )
-    return mk(recs[:n_train]), mk(recs[n_train:])
+    val = recs[n_train:]
+    half = max(len(val) // 2, 1)
+    return mk(recs[:n_train]), {"seen": mk(val[:half]),
+                                "unseen": mk(val[half:] or val[:half])}
 
 
 def build_real(args, mcfg: ModelConfig):
@@ -53,16 +76,21 @@ def build_real(args, mcfg: ModelConfig):
     feat_db = HDF5FeatureDB(args.img_ft_file,
                             mcfg.image_feat_size + mcfg.image_prob_size)
     recs = load_trajectory_jsonl(args.train_traj_files)
-    val_recs = load_trajectory_jsonl(args.val_traj_files)
-    scans = sorted({r.scan for r in recs + val_recs})
+    val_specs = parse_val_specs(args.val_traj_files)
+    val_recs = {name: load_trajectory_jsonl(files)
+                for name, files in val_specs.items()}
+    scans = sorted({r.scan for rs in ([recs] + list(val_recs.values()))
+                    for r in rs})
     graphs = load_nav_graphs(args.connectivity_dir, scans)
     mk = lambda rs: TrajectoryDataset(
         rs, graphs, feat_db,
         image_feat_size=mcfg.image_feat_size,
         image_prob_size=mcfg.image_prob_size,
         max_txt_len=args.max_txt_len, max_hist_len=args.max_hist_len,
+        ob_cand_pano_view=getattr(args, "ob_cand_pano_view", False) or False,
+        ob_cand_extra=getattr(args, "ob_cand_extra", 4),
     )
-    return mk(recs), mk(val_recs)
+    return mk(recs), {name: mk(rs) for name, rs in val_recs.items()}
 
 
 def parse_args(argv=None):
@@ -74,11 +102,25 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=5e-5)
     p.add_argument("--grad_accum", type=int, default=1)
-    p.add_argument("--max_txt_len", type=int, default=80)
+    p.add_argument("--preset", default="r2r", choices=["r2r", "rxr"],
+                   help="config preset: 'rxr' = pretrain_rxr.json "
+                        "(xlmr vocab / 512-d CLIP feats / cand-first "
+                        "observations / 250-token instructions / no "
+                        "MRC) — unset task/txt-len/layout flags take "
+                        "the preset's values")
+    p.add_argument("--max_txt_len", type=int, default=None,
+                   help="default 80 (r2r) / 250 (rxr preset)")
     p.add_argument("--max_hist_len", type=int, default=25)
-    p.add_argument("--tasks", nargs="+", default=list(DEFAULT_TASKS))
-    p.add_argument("--mix_ratio", nargs="+", type=float,
-                   default=list(DEFAULT_MIX))
+    p.add_argument("--tasks", nargs="+", default=None)
+    p.add_argument("--mix_ratio", nargs="+", type=float, default=None)
+    p.add_argument("--ob_cand_pano_view", action="store_true",
+                   default=None,
+                   help="candidate-first observation layout for SAP/SAR "
+                        "(r2r_data.py:222-261; default on under "
+                        "--preset rxr, pretrain_rxr.json:31)")
+    p.add_argument("--ob_cand_extra", type=int, default=4,
+                   help="static padding slots beyond 37 ob tokens for "
+                        "duplicate-view candidates in the cand layout")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--no_feat_table", action="store_true",
                    help="ship materialized feature batches instead of "
@@ -86,7 +128,13 @@ def parse_args(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="small model (smoke tests/demos)")
     p.add_argument("--train_traj_files", nargs="+", default=None)
-    p.add_argument("--val_traj_files", nargs="+", default=None)
+    p.add_argument("--val_traj_files", nargs="+", default=None,
+                   help="validation stream(s): plain paths (one stream "
+                        "'val') or name=path pairs, e.g. "
+                        "'seen=val_seen.jsonl unseen=val_unseen.jsonl' "
+                        "— every stream is validated per task each "
+                        "--valid_steps with val_{name}/ metric keys "
+                        "(main_r2r.py:303-308 setname suffixes)")
     p.add_argument("--img_ft_file", default=None)
     p.add_argument("--connectivity_dir", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -160,7 +208,16 @@ def main(argv=None):
     from ..utils.misc import apply_rng_impl
 
     apply_rng_impl(args.rng_impl)
-    mcfg = get_preset("r2r").model
+    rxr = args.preset == "rxr"
+    if args.tasks is None:
+        args.tasks = list(RXR_TASKS if rxr else DEFAULT_TASKS)
+    if args.mix_ratio is None:
+        args.mix_ratio = list(RXR_MIX if rxr else DEFAULT_MIX)
+    if args.max_txt_len is None:
+        args.max_txt_len = 250 if rxr else 80
+    if args.ob_cand_pano_view is None:
+        args.ob_cand_pano_view = rxr
+    mcfg = get_preset(args.preset).model
     if args.bf16:
         mcfg = dataclasses.replace(mcfg, dtype="bfloat16")
     if args.tiny:
@@ -168,14 +225,22 @@ def main(argv=None):
             mcfg, hidden_size=64, num_attention_heads=4,
             intermediate_size=128, num_l_layers=2, num_x_layers=1,
             num_h_pano_layers=1, image_feat_size=32, image_prob_size=16,
-            max_position_embeddings=128, max_action_steps=32,
+            # must cover max_txt_len: OOB position lookups are NaN-fill
+            # (the rxr preset defaults 250-token instructions)
+            max_position_embeddings=max(128, args.max_txt_len + 2),
+            max_action_steps=32,
         )
+    if args.max_txt_len > mcfg.max_position_embeddings:
+        raise ValueError(
+            f"max_txt_len {args.max_txt_len} exceeds the model's "
+            f"max_position_embeddings {mcfg.max_position_embeddings} — "
+            f"position lookups would go out of range")
 
     if args.synthetic:
-        train_ds, val_ds = build_synthetic(args, mcfg)
+        train_ds, val_dss = build_synthetic(args, mcfg)
     else:
         assert args.train_traj_files and args.img_ft_file and args.connectivity_dir
-        train_ds, val_ds = build_real(args, mcfg)
+        train_ds, val_dss = build_real(args, mcfg)
 
     feat_table = None
     if not args.no_feat_table:
@@ -193,7 +258,8 @@ def main(argv=None):
             table = jnp.asarray(table, jnp.bfloat16)
         feat_table = table
         train_ds.set_feat_offsets(offsets)
-        val_ds.set_feat_offsets(offsets)
+        for ds in val_dss.values():
+            ds.set_feat_offsets(offsets)
 
     import jax as _jax
 
@@ -203,7 +269,8 @@ def main(argv=None):
     rank_off = (_jax.process_index()
                 if (args.sharded_feed and _jax.process_count() > 1) else 0)
     batcher = PretrainBatcher(train_ds, seed=args.seed + 1000 * rank_off)
-    val_batcher = PretrainBatcher(val_ds, seed=args.seed + 1)
+    val_batchers = {name: PretrainBatcher(ds, seed=args.seed + 1)
+                    for name, ds in val_dss.items()}
     mesh = None
     if args.data_shards * args.model_shards > 1:
         from ..parallel.mesh import make_mesh
@@ -255,9 +322,14 @@ def main(argv=None):
                 f"{task}/{k}": float(_np.asarray(v))
                 for k, v in aux.items()}})
         if (step + 1) % args.valid_steps == 0 or step + 1 == args.num_steps:
-            val = trainer.validate(val_batcher)
-            flat = {f"val/{t}/{k}": v for t, stats in val.items()
-                    for k, v in stats.items()}
+            # every named stream, like the reference's seen+unseen pass
+            # (main_r2r.py:303-308)
+            flat = {}
+            for name, vb in val_batchers.items():
+                val = trainer.validate(vb)
+                flat.update({f"val_{name}/{t}/{k}": v
+                             for t, stats in val.items()
+                             for k, v in stats.items()})
             logger.log(step + 1, flat)
             trainer.save(os.path.join(args.output_dir,
                                       f"model_step_{step + 1}.pkl"))

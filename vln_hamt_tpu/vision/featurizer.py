@@ -20,8 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .transforms import VIT_MEAN, VIT_STD
 from .vit import ViT
 
+# kept for callers that featurize with ImageNet-normalized backbones;
+# the DEFAULT is the reference ViT config's mean=std=0.5
+# (vision_transformer.py:58 via resolve_data_config,
+# precompute_img_features_vit.py:51)
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 NUM_VIEWS = 36
@@ -34,8 +39,8 @@ class PanoramaFeaturizer:
         params,
         panos_per_batch: int = 2,
         pipeline_depth: int = 3,
-        mean: Tuple[float, float, float] = IMAGENET_MEAN,
-        std: Tuple[float, float, float] = IMAGENET_STD,
+        mean: Tuple[float, float, float] = VIT_MEAN,
+        std: Tuple[float, float, float] = VIT_STD,
     ):
         self.model = model
         self.params = params
