@@ -235,7 +235,7 @@ def test_image_pretrain_cli_device_bench(tmp_path, capsys):
 def test_finetune_cli_variant_presets(tmp_path, capsys):
     """The r4r, rxr and r2r_last presets run the full synthetic
     pipeline end to end — rxr exercises the XLM-R path (250k vocab,
-    type_vocab_size 1, no_lang_ca; scripts/run_rxr.sh) through training
+    duplicated type embedding, no_lang_ca; scripts/run_rxr.sh) through training
     + device eval + model selection; r2r_last is the LastSent
     config-only variant over R2RNavEnv (scripts/run_r2r_last.sh)."""
     from vln_hamt_tpu.run.finetune import main

@@ -277,3 +277,26 @@ def test_construct_instrs_cvdn(anno_dir):
     # TAIL clip: the most recent dialog turns survive (cvdn/main.py:29)
     assert items[0]["instr_encoding"] == list(range(500, 600))
     assert items[1]["instr_encoding"] == [5, 6, 7]
+
+
+def test_rxr_preset_matches_reference_model_config():
+    """The rxr preset's model fields pin to the reference's
+    rxr_xlm_model_config.json — notably type_vocab_size stays 2 even
+    for XLM-R (the trunk's obs embedding uses token type 1; the
+    reference duplicates XLM-R's single row at init,
+    main_r2r.py:139-143)."""
+    import json
+
+    from vln_hamt_tpu.configs import get_preset
+
+    with open("/root/reference/pretrain_src/config/"
+              "rxr_xlm_model_config.json") as f:
+        ref = json.load(f)
+    m = get_preset("rxr").model
+    for field in ("hidden_size", "image_feat_size", "angle_feat_size",
+                  "image_prob_size", "intermediate_size", "num_l_layers",
+                  "num_x_layers", "num_h_pano_layers",
+                  "max_position_embeddings", "max_action_steps",
+                  "num_attention_heads", "type_vocab_size", "vocab_size"):
+        assert getattr(m, field) == ref[field], (field, getattr(m, field),
+                                                 ref[field])

@@ -217,7 +217,10 @@ PRESETS: Dict[str, HAMTConfig] = {
             "no_lang_ca": True,
             "vocab_size": 250002,  # xlm-roberta-base
             "max_position_embeddings": 514,
-            "type_vocab_size": 1,
+            # 2 even for XLM-R: the trunk's obs embedding uses token
+            # type 1; the reference duplicates XLM-R's single row at
+            # init (rxr_xlm_model_config.json:29, main_r2r.py:139-143)
+            "type_vocab_size": 2,
         },
         env={
             "dataset": "rxr",
