@@ -125,6 +125,51 @@ def test_convert_resizes_on_grid_mismatch(ref_vit_module):
     assert np.isfinite(np.asarray(feats)).all()
 
 
+def test_e2e_extraction_matches_reference_pipeline(ref_vit_module):
+    """The WHOLE extraction chain — equirect -> native 640x480@VFOV60
+    render -> timm eval transform -> featurizer ViT -> (36, D+C) HDF5
+    matrix — matches a reference-style torch pipeline (torchvision/PIL
+    transform oracle + the reference's vendored VisionTransformer,
+    precompute_img_features_vit.py:49-52,96-108) run on the SAME
+    renders, at <= 2e-4. Certifies features regenerated by
+    run/precompute_features.py as interchangeable with
+    reference-extracted ones (given identical view renders; the render
+    geometry itself is pinned by test_image_transform/test_native)."""
+    from test_image_transform import oracle_eval
+
+    from vln_hamt_tpu.native import sample_panorama
+    from vln_hamt_tpu.vision.featurizer import PanoramaFeaturizer
+    from vln_hamt_tpu.vision.transforms import eval_transform
+
+    torch.manual_seed(2)
+    ref = ref_vit_module.VisionTransformer(
+        img_size=224, patch_size=16, num_classes=20, embed_dim=48,
+        depth=2, num_heads=4)
+    ref.eval()
+    cfg = ViTConfig(img_size=(224, 224), patch_size=16, hidden_size=48,
+                    num_layers=2, num_heads=4, num_classes=20)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_vit_state_dict(sd, num_layers=2, num_heads=4,
+                                    grid=cfg.grid, patch_size=16)
+
+    equirect = np.random.default_rng(7).integers(
+        0, 255, (512, 1024, 3), dtype=np.uint8)
+    views = sample_panorama(equirect, np.deg2rad(60.0), 640, 480)
+    assert views.shape == (36, 480, 640, 3)
+
+    # ours: the production featurizer defaults (timm transform on host,
+    # mean=std=0.5 normalization on device, fp32 model for tolerance)
+    feat = PanoramaFeaturizer(ViT(cfg), params, panos_per_batch=1)
+    mat = feat.extract([("s", "vp", eval_transform(views))])["s_vp"]
+    assert mat.shape == (36, 48 + 20)
+
+    with torch.no_grad():
+        tx = torch.stack([oracle_eval(v) for v in views])
+        ref_feats = ref.forward_features(tx)
+        want = torch.cat([ref_feats, ref.head(ref_feats)], dim=1).numpy()
+    np.testing.assert_allclose(mat, want, rtol=2e-4, atol=2e-4)
+
+
 def test_load_vit_checkpoint_npz(ref_vit_module, tmp_path):
     """CLI entry: .npz state-dict files load through load_vit_checkpoint."""
     from vln_hamt_tpu.models.convert import load_vit_checkpoint
