@@ -283,6 +283,28 @@ def main() -> None:
     except Exception as e:  # never let the measurement kill the bench
         record["mfu_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # ---- packed IL (BENCH_PACKED_IL=0 skips): several teacher episodes
+    # ride each scan slot back to back (agents/packing.py), so the
+    # static-T scan stops paying for episode padding. Same per-episode
+    # estimator (tests/test_packed_il.py); episodes/s counts episodes
+    # actually trained, not slots.
+    if (os.environ.get("BENCH_PACKED_IL", "1") == "1"
+            and agent._feat_table is not None):
+        agent.enable_packed_il()
+        out = agent.train_iteration("teacher", sync=False)  # warm/compile
+        float(out["loss"])
+        c0 = agent._packer.episodes_consumed
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            out = agent.train_iteration("teacher", sync=False)
+        packed_loss = float(out["loss"])  # sync
+        dt = time.perf_counter() - t0
+        assert np.isfinite(packed_loss)
+        n_eps = agent._packer.episodes_consumed - c0
+        record["il_packed_eps_per_sec"] = round(n_eps / dt, 2)
+        record["il_packed_eps_per_update"] = round(n_eps / MEASURE_STEPS, 1)
+        agent.packed_il = False  # later rng-companion reuse stays unpacked
+
     if MEASURE_SAMPLE and SAMPLE_BATCH != IL_BATCH:
         # the 'sample' envelope peaks at a different batch (its scan
         # already runs 2B lanes); rebuild at SAMPLE_BATCH and let the

@@ -41,7 +41,7 @@ _FAST_MODULES = {
 _HEAVY_MODULES = {  # excluded from core: multi-minute jit/mp/CLI suites
     "test_agent.py", "test_variant_agents.py", "test_image_pretrain.py",
     "test_parallel.py", "test_multiprocess.py", "test_cli.py",
-    "test_ops_vision.py", "test_pretrain.py",
+    "test_ops_vision.py", "test_pretrain.py", "test_packed_il.py",
 }
 
 

@@ -174,6 +174,8 @@ class HAMTAgent:
     #: dropout/sampling over the lanes — PARITY.md), so OFF by default
     #: paths that need bit-parity; see _merged_sample_update_fn
     merged_sample_update = False
+    #: pack several teacher episodes per IL scan slot (enable_packed_il)
+    packed_il = False
 
     def enable_feature_table(self, env: Optional[R2RNavEnv] = None) -> None:
         """Switch IL episode transport to device-resident features.
@@ -206,6 +208,35 @@ class HAMTAgent:
         self._n_scan_max = max(g.num_nodes for g in env.graphs.values())
         self._ref_max = max((len(it["path"]) for it in env.data
                              if "path" in it), default=2)
+
+    def enable_packed_il(self, text_cap: Optional[int] = None) -> None:
+        """Pack teacher episodes densely into the IL scan (agents/
+        packing.py): several episodes ride each scan slot back to back,
+        so the static-T program stops paying for episode padding
+        (~T/mean_len more episodes per update at R2R lengths; the
+        reference's host loop gets the same effect by breaking early,
+        ``agent_cmt.py`` all-ended break). The per-episode estimator is
+        unchanged — packed updates are gradient-equivalent to unpacked
+        updates over the same episodes (tests/test_packed_il.py).
+
+        Requires feature-table transport (call enable_feature_table
+        first). Affects ``train_iteration('teacher')`` only; 'sample'
+        feedback keeps its merged rollout scan (an interactive rollout
+        cannot be packed ahead of time — episode lengths are policy-
+        dependent).
+        """
+        from .packing import PackedILStream
+        from .rollout import build_packed_il_forward
+
+        assert self._feat_table is not None and \
+            self.env.feat_offsets is not None, (
+                "packed IL needs feature-table transport "
+                "(enable_feature_table)")
+        self._packer = PackedILStream(self.env, text_cap=text_cap)
+        self._packed_il_forward = build_packed_il_forward(
+            self.model, self.cfg.model, ob_type=self.cfg.env.ob_type)
+        self._packed_il_update = jax.jit(self._packed_il_update_fn)
+        self.packed_il = True
 
     def enable_mesh(self, mesh) -> None:
         """Shard the agent over a ('data', 'model') device mesh.
@@ -401,6 +432,40 @@ class HAMTAgent:
         updates, opt_state = self.tx.update(gp, opt_state, state_params)
         params = optax.apply_updates(state_params, updates)
         cupdates, copt_state = self.ctx.update(gc, copt_state, state_cparams)
+        cparams = optax.apply_updates(state_cparams, cupdates)
+        return params, cparams, opt_state, copt_state, loss, aux
+
+    def _packed_il_loss(self, params, pack, rng, weight, feat_table):
+        logits = self._packed_il_forward(params, pack, rng,
+                                         deterministic=False,
+                                         feat_table=feat_table)
+        teacher = jnp.moveaxis(pack["teacher"], 0, 1)  # (T, S)
+        # same summed-CE estimator as _il_loss, normalized by the number
+        # of packed EPISODES (the unpacked path divides by its batch
+        # size = its episode count)
+        loss = il_loss(logits, teacher, IGNORE_ID) * weight \
+            / pack["n_episodes"]
+        return loss, {"IL_loss": loss}
+
+    def _packed_il_update_fn(self, state_params, state_cparams, opt_state,
+                             copt_state, pack, rng, il_weight,
+                             feat_table=None):
+        def loss_fn(params, cparams):
+            del cparams  # critic unused by IL; decay-only update below
+            return self._packed_il_loss(params, pack, rng, il_weight,
+                                        feat_table)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                                has_aux=True)(
+            state_params, state_cparams
+        )
+        gp, gc = grads
+        updates, opt_state = self.tx.update(gp, opt_state, state_params)
+        params = optax.apply_updates(state_params, updates)
+        # zero critic grads, like the unpacked teacher update (the
+        # optimizer still applies weight decay — identical semantics)
+        cupdates, copt_state = self.ctx.update(gc, copt_state,
+                                               state_cparams)
         cparams = optax.apply_updates(state_cparams, cupdates)
         return params, cparams, opt_state, copt_state, loss, aux
 
@@ -931,12 +996,27 @@ class HAMTAgent:
         st = self.state
         tcfg = self.cfg.train
         if feedback == "teacher":
-            ep = self._ep_to_device(self.env.teacher_episode())
-            rng = self._next_rng()
-            params, cparams, opt_state, copt_state, loss, aux = self._il_update(
-                st.params, st.cparams, st.opt_state, st.copt_state, ep, rng,
-                tcfg.teacher_weight, self._feat_table,
-            )
+            if self.packed_il:
+                pack = self._packer.next_pack()
+                n_eps = int(pack["n_episodes"])
+                pack = self._shard_data(
+                    jax.tree.map(jnp.asarray, pack),
+                    batch_size=self._packer.slots)
+                rng = self._next_rng()
+                (params, cparams, opt_state, copt_state, loss,
+                 aux) = self._packed_il_update(
+                    st.params, st.cparams, st.opt_state, st.copt_state,
+                    pack, rng, tcfg.teacher_weight, self._feat_table,
+                )
+                aux = {**aux, "episodes": n_eps}
+            else:
+                ep = self._ep_to_device(self.env.teacher_episode())
+                rng = self._next_rng()
+                (params, cparams, opt_state, copt_state, loss,
+                 aux) = self._il_update(
+                    st.params, st.cparams, st.opt_state, st.copt_state,
+                    ep, rng, tcfg.teacher_weight, self._feat_table,
+                )
         elif feedback == "sample":
             il_ep = self._ep_to_device(self.env.teacher_episode())
             use_device = (self.device_rollout_rewards

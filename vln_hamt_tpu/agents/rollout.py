@@ -263,6 +263,103 @@ def build_episode_forward(
 
 
 # ----------------------------------------------------------------------
+def build_packed_il_forward(model: HAMT, cfg: ModelConfig,
+                            ob_type: str = "pano"):
+    """Teacher-forced forward over a PACKED episode grid.
+
+    Same per-step transformer as :func:`build_episode_forward`, but each
+    scan slot carries several episodes back to back (agents/packing.py):
+    per-cell ``ep_id`` selects the slot's text encoding for that step,
+    ``is_start`` cells reset the slot's history cache to ``[hist0]``,
+    and the history token is written at the episode-LOCAL position
+    (one-hot scatter instead of the shared ``dynamic_update_slice``).
+    For every packed episode the sequence of (text, history, obs) the
+    model sees at each of its steps is identical to the unpacked scan's,
+    so logits match per episode (tested) and the packed IL update is the
+    same estimator at ~T/mean_len times the episodes per program.
+
+    Returns packed_forward(params, pack, rng, deterministic, feat_table)
+    -> logits (T, S, N). IL-only: no critic, no bootstrap obs.
+    """
+
+    expand_obs = make_expand_obs(36, cfg.angle_feat_size, ob_type)
+
+    def packed_forward(params, pack: Dict[str, jnp.ndarray], rng,
+                       deterministic: bool = False, feat_table=None):
+        pack = dict(pack)
+        if "node_idx" in pack:
+            pack["pano_feat"] = feat_table[pack["node_idx"]]
+        s, t_steps = pack["actions"].shape
+        h_max = t_steps + 1
+
+        txt_key = jax.random.fold_in(rng, TXT_KEY_SALT)
+        hist0_key = jax.random.fold_in(rng, HIST0_KEY_SALT)
+        apply = partial(model.apply, {"params": params})
+
+        # one text encode over ALL packed episodes' instructions
+        txt_all = apply(pack["txt_ids"], pack["txt_mask"], deterministic,
+                        method=HAMT.encode_text, rngs={"dropout": txt_key})
+        txt_mask_all = pack["txt_mask"]
+        hist0 = apply(s, deterministic, method=HAMT.init_history,
+                      rngs={"dropout": hist0_key})
+        reset_cache = jnp.zeros((s, h_max, cfg.hidden_size), hist0.dtype)
+        reset_cache = reset_cache.at[:, 0].set(hist0)
+
+        tm = lambda name: jnp.moveaxis(pack[name], 0, 1)
+        xs = dict(
+            pano_feat=tm("pano_feat"), view_index=tm("view_index"),
+            cand_point=tm("cand_point"), cand_ang=tm("cand_ang"),
+            action=tm("actions"), live=tm("live"), ep_id=tm("ep_id"),
+            local_t=tm("local_t"), is_start=tm("is_start"),
+            key=jax.vmap(lambda t: step_key(rng, t))(
+                jnp.arange(t_steps)),
+        )
+
+        def body(carry, x):
+            hist_cache, hist_len = carry
+            k_plan, _k_critic, k_hist, _ = jax.random.split(x["key"], 4)
+            start = x["is_start"]
+            hist_cache = jnp.where(start[:, None, None], reset_cache,
+                                   hist_cache)
+            hist_len = jnp.where(start, 1, hist_len)
+            if txt_all.ndim == 4:  # no_lang_ca per-layer stack (X+1,E,L,D)
+                txt_e = txt_all[:, x["ep_id"]]
+            else:
+                txt_e = txt_all[x["ep_id"]]
+            txt_m = txt_mask_all[x["ep_id"]]
+            ob = expand_obs(x["pano_feat"], x["view_index"],
+                            x["cand_point"], x["cand_ang"])
+            logits, _state = apply(
+                txt_e, txt_m, hist_cache, _hist_mask(hist_len, h_max),
+                ob["ob_img"], ob["ob_ang"], ob["ob_nav"], ob["ob_mask"],
+                deterministic, method=HAMT.plan, rngs={"dropout": k_plan},
+            )
+            act_ang = jnp.take_along_axis(
+                ob["ob_ang"], x["action"][:, None, None], axis=1
+            ).squeeze(1)
+            new_tok = apply(
+                ob["hist_img"], act_ang, x["local_t"], ob["pano_img"],
+                ob["pano_ang"], deterministic, method=HAMT.encode_history,
+                rngs={"dropout": k_hist},
+            )
+            pos = x["local_t"] + 1
+            write = ((jnp.arange(h_max)[None, :] == pos[:, None])
+                     & x["live"][:, None])
+            hist_cache = jnp.where(
+                write[:, :, None],
+                new_tok[:, None, :].astype(hist_cache.dtype), hist_cache)
+            hist_len = hist_len + x["live"].astype(jnp.int32)
+            return (hist_cache, hist_len), logits
+
+        scan_body = remat_scan_body(body, cfg)
+        hist_len0 = jnp.ones((s,), jnp.int32)
+        _, logits = jax.lax.scan(scan_body, (reset_cache, hist_len0), xs)
+        return logits  # (T, S, N) float32
+
+    return packed_forward
+
+
+# ----------------------------------------------------------------------
 def build_policy_step(model: HAMT, critic: Critic, cfg: ModelConfig,
                       ob_type: str = "pano"):
     """Single interactive step, jitted with a donated history cache.

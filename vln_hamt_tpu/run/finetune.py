@@ -307,6 +307,7 @@ def train(
     init_ref_ckpt: Optional[str] = None,
     sharded_feed: bool = False,
     orbax_ckpt: bool = False,
+    packed_il: bool = False,
 ) -> Dict[str, float]:
     """The main train/validate loop (main.py:86-222)."""
     os.makedirs(output_dir, exist_ok=True)
@@ -353,6 +354,25 @@ def train(
         # per-host sharded feeding: this process's envs hold only its
         # shard; the agent stitches the global batch
         agent.enable_host_sharded_feed()
+    if packed_il:
+        # pack several teacher episodes per scan slot (agents/packing.py)
+        # — the static-T scan stops paying for episode padding; same
+        # estimator per episode (tests/test_packed_il.py)
+        if cfg.train.feedback != "teacher":
+            raise ValueError("--packed_il applies to teacher feedback "
+                             "only (an interactive 'sample' rollout has "
+                             "policy-dependent lengths)")
+        if aug_env is not None:
+            raise ValueError("--packed_il with --aug is unsupported "
+                             "(one packer per env; alternate batches "
+                             "would interleave queues)")
+        if sharded_feed and jax.process_count() > 1:
+            raise ValueError("--packed_il with --sharded_feed is "
+                             "unsupported (packs are assembled per "
+                             "process over the full batch)")
+        if not cfg.train.feat_table:
+            raise ValueError("--packed_il requires the feature table")
+        agent.enable_packed_il()
     if resume_file:
         agent.load(resume_file, resume_optimizer=cfg.train.resume_optimizer)
     # config dump (reference save_training_meta, utils/save.py:12-20)
@@ -395,6 +415,7 @@ def train(
     while step < iters:
         interval = min(log_every, iters - step)
         losses = []
+        eps_in_interval = 0
         with logger.timer("train") as train_t:
             for j in range(interval):
                 # async: device works while the host assembles the next
@@ -402,12 +423,15 @@ def train(
                 if aug_env is not None:
                     agent.env = train_env if j % 2 == 0 else aug_env
                 out = agent.train_iteration(sync=False)
+                # packed IL trains a variable episode count per update
+                eps_in_interval += out.get("episodes",
+                                           cfg.train.batch_size)
                 losses.append(out["loss"])
             losses = [float(np.asarray(l)) for l in losses]
         step += interval
         dt = train_t.last
         logger.log(step, {"loss": float(np.mean(losses)),
-                          "eps_per_sec": interval * cfg.train.batch_size / dt,
+                          "eps_per_sec": eps_in_interval / dt,
                           "mfu": interval * flops_per_iter / dt / peak,
                           **{k: float(np.mean(v[-interval:]))
                              for k, v in agent.logs.items() if v}})
@@ -568,6 +592,14 @@ def parse_args(argv=None):
                         "reference's per-rank DDP feeding, "
                         "cvdn/main.py:42-49). Default: identical-seed "
                         "env replicas on every process.")
+    p.add_argument("--packed_il", action="store_true",
+                   help="pack several teacher episodes into each scan "
+                        "slot (agents/packing.py) so the static-T "
+                        "episode scan stops paying for padding — "
+                        "~T/mean_len more episodes per update at R2R "
+                        "lengths, same per-episode estimator "
+                        "(tests/test_packed_il.py). Teacher feedback + "
+                        "feature-table transport only.")
     p.add_argument("--data_shards", type=int, default=None,
                    help="data-parallel mesh axis (batch sharded over "
                         "devices; replaces the reference's DDP ranks)")
@@ -659,7 +691,8 @@ def main(argv=None):
                  init_pretrain=args.init_pretrain,
                  init_ref_ckpt=args.init_ref_ckpt,
                  sharded_feed=args.sharded_feed,
-                 orbax_ckpt=args.orbax_ckpt)
+                 orbax_ckpt=args.orbax_ckpt,
+                 packed_il=args.packed_il)
     print(json.dumps({"best": best}, default=float))
 
 
