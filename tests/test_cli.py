@@ -28,6 +28,27 @@ def test_finetune_cli_synthetic(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_finetune_cli_aug_packed_il(tmp_path, capsys):
+    """GT/aug interval alternation (main.py:146-161; --aug builds a
+    fixture aug env under --synthetic) combined with --packed_il:
+    per-env packers keep the two episode queues separate and the run
+    trains more episodes per update than the plain batch."""
+    from vln_hamt_tpu.run.finetune import main
+
+    out = str(tmp_path / "run")
+    main(["--task", "r2r", "--synthetic", "--tiny", "--iters", "6",
+          "--log_every", "6", "--output_dir", out, "--feedback",
+          "teacher", "--aug", "synthetic", "--packed_il",
+          "--batch_size", "4"])
+    printed = capsys.readouterr().out
+    best = json.loads(printed.strip().splitlines()[-1])["best"]
+    assert np.isfinite(best["score"])
+    lines = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    train_lines = [l for l in lines if "loss" in l]
+    assert train_lines and all(np.isfinite(l["loss"]) for l in train_lines)
+
+
+@pytest.mark.slow
 def test_finetune_cli_valid_only_submit(tmp_path, capsys):
     """Stand-alone validation + submission dumps (main.py:225-269):
     train briefly, then --valid_only --submit must evaluate the GT

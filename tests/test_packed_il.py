@@ -211,3 +211,42 @@ def test_agent_packed_training_runs(setup):
     total = sum(o["episodes"] for o in outs)
     assert total > len(outs) * env.batch_size, total
     assert agent._packer.episodes_consumed - consumed0 == total
+
+
+def test_packed_env_alternation(setup, tiny_world):
+    """GT/aug alternation (the reference interval loop swaps
+    ``listner.env`` each iteration, main.py:146-161): packers are
+    per-env, so each env's episode queue stays separate and the one
+    compiled program serves both (same shapes)."""
+    cfg, env, agent, pack = setup
+    env2 = R2RNavEnv(
+        tiny_world.graphs, tiny_world.feat_db, tiny_world.instr_data,
+        env.spec, batch_size=cfg.train.batch_size,
+        max_instr_len=cfg.env.max_instr_len,
+        max_action_len=cfg.env.max_action_len, seed=99,
+    )
+    env2.feat_offsets = env.feat_offsets
+    base_env = agent.env
+    try:
+        outs = []
+        for j in range(4):
+            agent.env = base_env if j % 2 == 0 else env2
+            outs.append(agent.train_iteration("teacher"))
+        assert all(np.isfinite(o["loss"]) for o in outs)
+        assert all(o["episodes"] > 0 for o in outs)
+        # one packer per env object, both drained
+        assert len(agent._packers) == 2
+        assert all(p.episodes_consumed > 0
+                   for p in agent._packers.values())
+    finally:
+        agent.env = base_env
+
+
+def test_reverie_packed_il_raises():
+    """REVERIE's teacher update is a dual act+obj CE (plan_ref); the
+    packed forward doesn't produce obj logits, so enabling packed IL
+    must fail loudly instead of silently dropping the object loss."""
+    from vln_hamt_tpu.agents.reverie import ReverieAgent
+
+    with pytest.raises(NotImplementedError, match="REVERIE"):
+        ReverieAgent.enable_packed_il(object())

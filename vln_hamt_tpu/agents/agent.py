@@ -224,19 +224,38 @@ class HAMTAgent:
         feedback keeps its merged rollout scan (an interactive rollout
         cannot be packed ahead of time — episode lengths are policy-
         dependent).
+
+        Packers are per-env (keyed by the live env object), created
+        lazily when ``self.env`` changes — GT/aug alternation (the
+        reference's ``main.py`` interval loop swaps ``listner.env``
+        every iteration) keeps each env's episode queue separate, and
+        same-shaped envs share the one compiled program.
         """
-        from .packing import PackedILStream
         from .rollout import build_packed_il_forward
 
         assert self._feat_table is not None and \
             self.env.feat_offsets is not None, (
                 "packed IL needs feature-table transport "
                 "(enable_feature_table)")
-        self._packer = PackedILStream(self.env, text_cap=text_cap)
+        self._packed_text_cap = text_cap
+        self._packers: Dict[int, Any] = {}
         self._packed_il_forward = build_packed_il_forward(
             self.model, self.cfg.model, ob_type=self.cfg.env.ob_type)
         self._packed_il_update = jax.jit(self._packed_il_update_fn)
         self.packed_il = True
+
+    @property
+    def _packer(self):
+        """The current env's packed-IL stream (lazily created)."""
+        from .packing import PackedILStream
+
+        key = id(self.env)
+        packer = self._packers.get(key)
+        if packer is None:
+            packer = PackedILStream(self.env,
+                                    text_cap=self._packed_text_cap)
+            self._packers[key] = packer
+        return packer
 
     def enable_mesh(self, mesh) -> None:
         """Shard the agent over a ('data', 'model') device mesh.

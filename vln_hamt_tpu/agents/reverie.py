@@ -213,6 +213,13 @@ class ReverieAgent(HAMTAgent):
         self._ref_il_update = jax.jit(self._ref_il_update_fn)
         self._obj_tables = None  # device object tables (feature-table mode)
 
+    def enable_packed_il(self, text_cap=None) -> None:
+        raise NotImplementedError(
+            "packed IL is not implemented for REVERIE: the teacher "
+            "update is a dual act+obj CE over the object-grounded "
+            "forward (plan_ref), which the packed forward "
+            "(rollout.py:build_packed_il_forward) does not produce")
+
     def enable_feature_table(self, env=None) -> None:
         """Feature-table transport for REVERIE: the pano table plus a
         node-aligned object table (features/view-index/bbox-pos/mask),

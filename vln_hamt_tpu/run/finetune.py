@@ -67,8 +67,13 @@ _AGENT_CLS = {
 
 
 def build_synthetic_dataset(cfg: HAMTConfig, seed: int = 0,
-                            test_split: bool = False):
-    """Fixture-backed envs for hermetic runs (no Matterport data)."""
+                            test_split: bool = False, aug: bool = False):
+    """Fixture-backed envs for hermetic runs (no Matterport data).
+
+    ``aug=True`` builds a synthetic aug env over the train items
+    (differently seeded episode stream), so the GT/aug interval
+    alternation (main.py:146-161) is exercisable hermetically.
+    """
     dataset = cfg.env.dataset
     world = make_synthetic_world(
         num_scans=2, nodes_per_scan=24, num_items=48,
@@ -100,18 +105,21 @@ def build_synthetic_dataset(cfg: HAMTConfig, seed: int = 0,
     n_train = int(len(items) * 0.75)
     env_cls = _ENV_CLS[dataset]
 
-    def make_env(data, name):
+    def make_env(data, name, seed_shift=0):
         return env_cls(
             world.graphs, world.feat_db, data, spec,
             batch_size=cfg.train.batch_size,
             max_instr_len=cfg.env.max_instr_len,
             max_action_len=cfg.env.max_action_len,
-            seed=cfg.train.seed, name=name,
+            seed=cfg.train.seed + seed_shift, name=name,
             reuse_episode_buffers=(name in ("train", "aug")),
             **env_kwargs,
         )
 
     train_env = make_env(items[:n_train], "train")
+    if aug:
+        train_env = (train_env,
+                     make_env(items[:n_train], "aug", seed_shift=1))
     val_envs = {"val_unseen": make_env(items[n_train:], "val_unseen")}
     if test_split:
         # GT-less test items: path truncated to the start viewpoint,
@@ -362,10 +370,6 @@ def train(
             raise ValueError("--packed_il applies to teacher feedback "
                              "only (an interactive 'sample' rollout has "
                              "policy-dependent lengths)")
-        if aug_env is not None:
-            raise ValueError("--packed_il with --aug is unsupported "
-                             "(one packer per env; alternate batches "
-                             "would interleave queues)")
         if sharded_feed and jax.process_count() > 1:
             raise ValueError("--packed_il with --sharded_feed is "
                              "unsupported (packs are assembled per "
@@ -521,7 +525,12 @@ def parse_args(argv=None):
     p.add_argument("--obj_ft_file", default=None,
                    help="REVERIE object-feature HDF5 "
                         "(reverie/parser.py --obj_ft_file)")
-    p.add_argument("--aug", default=None)
+    p.add_argument("--aug", default=None,
+                   help="augmented-instruction annotation file "
+                        "(prevalent_aug); training then alternates "
+                        "GT/aug batches (main.py:146-161). With "
+                        "--synthetic any value builds a fixture aug "
+                        "env (hermetic alternation smoke).")
     p.add_argument("--resume_file", default=None)
     p.add_argument("--init_pretrain", default=None,
                    help="run/pretrain.py checkpoint to initialize the "
@@ -663,7 +672,8 @@ def main(argv=None):
 
     if args.synthetic:
         cfg, train_env, val_envs = build_synthetic_dataset(
-            cfg, args.seed, test_split=args.submit)
+            cfg, args.seed, test_split=args.submit,
+            aug=bool(args.aug) and not args.valid_only)
     else:
         assert args.anno_dir and args.connectivity_dir and args.img_ft_file, (
             "real-data runs need --anno_dir --connectivity_dir --img_ft_file "
