@@ -293,16 +293,35 @@ def main() -> None:
         agent.enable_packed_il()
         out = agent.train_iteration("teacher", sync=False)  # warm/compile
         float(out["loss"])
+        # BENCH_PROFILE_PACKED=<dir>: trace the measured packed steps
+        packed_prof = os.environ.get("BENCH_PROFILE_PACKED", "")
+        if packed_prof:
+            jax.profiler.start_trace(packed_prof)
         c0 = agent._packer.episodes_consumed
         t0 = time.perf_counter()
         for _ in range(MEASURE_STEPS):
             out = agent.train_iteration("teacher", sync=False)
         packed_loss = float(out["loss"])  # sync
         dt = time.perf_counter() - t0
+        if packed_prof:
+            jax.profiler.stop_trace()
         assert np.isfinite(packed_loss)
         n_eps = agent._packer.episodes_consumed - c0
         record["il_packed_eps_per_sec"] = round(n_eps / dt, 2)
         record["il_packed_eps_per_update"] = round(n_eps / MEASURE_STEPS, 1)
+        if hlo_prefix:
+            try:
+                import jax.numpy as jnp
+
+                pack = jax.tree.map(jnp.asarray, agent._packer.next_pack())
+                st = agent.state
+                dump_hlo(agent._packed_il_update.lower(
+                    st.params, st.cparams, st.opt_state, st.copt_state,
+                    pack, jax.random.PRNGKey(0), cfg.train.teacher_weight,
+                    agent._feat_table), "packed")
+            except Exception as e:
+                record["packed_hlo_dump_error"] = \
+                    f"{type(e).__name__}: {e}"[:200]
         agent.packed_il = False  # later rng-companion reuse stays unpacked
 
     if MEASURE_SAMPLE and SAMPLE_BATCH != IL_BATCH:
