@@ -25,7 +25,7 @@ from vln_hamt_tpu.configs import HAMTConfig
 from vln_hamt_tpu.env import ObsSpec, R2RNavEnv
 
 
-def nodrop_cfg(world, max_action_len=8, batch_size=4):
+def nodrop_cfg(world, max_action_len=8, batch_size=4, extra_model=None):
     """Tiny config with EVERY dropout off: forwards are then
     deterministic regardless of rng, so packed vs unpacked comparisons
     are exact-math comparisons."""
@@ -33,6 +33,7 @@ def nodrop_cfg(world, max_action_len=8, batch_size=4):
     max_deg = max(g.max_degree for g in world.graphs.values())
     return HAMTConfig().replace(
         model={
+            **(extra_model or {}),
             "hidden_size": 64,
             "num_attention_heads": 4,
             "intermediate_size": 128,
@@ -80,9 +81,11 @@ def setup(tiny_world):
     return cfg, env, agent, pack
 
 
-def unpack_to_episode_batch(pack, t_max, stop_slot):
+def unpack_to_episode_batch(pack, t_max, stop_slot, extra_int_keys=()):
     """Rebuild an unpacked (E, T) episode dict from a pack's cells —
-    the oracle input for the unpacked scan."""
+    the oracle input for the unpacked scan. ``extra_int_keys`` names
+    additional (S, T) int grids handled like ``teacher`` (REVERIE's
+    ``ref_teacher``)."""
     n_eps = int(pack["n_episodes"])
     live = pack["live"]
     e_keys = ("node_idx", "view_index", "cand_point", "cand_ang")
@@ -93,6 +96,8 @@ def unpack_to_episode_batch(pack, t_max, stop_slot):
         "teacher": np.full((n_eps, t_max), IGNORE_ID, np.int32),
         "step_mask": np.zeros((n_eps, t_max), bool),
     }
+    for k in extra_int_keys:
+        out[k] = np.full((n_eps, t_max), IGNORE_ID, np.int32)
     for k in e_keys:
         shp = (n_eps, t_max) + pack[k].shape[2:]
         out[k] = np.zeros(shp, pack[k].dtype)
@@ -116,6 +121,8 @@ def unpack_to_episode_batch(pack, t_max, stop_slot):
             out[k][e, l:] = out[k][e, l - 1:l]
         out["actions"][e, :l] = pack["actions"][s][sl]
         out["teacher"][e, :l] = pack["teacher"][s][sl]
+        for k in extra_int_keys:
+            out[k][e, :l] = pack[k][s][sl]
         out["step_mask"][e, :l] = True
         assert pack["is_start"][s, t0]
         np.testing.assert_array_equal(pack["local_t"][s][sl], np.arange(l))
@@ -242,11 +249,88 @@ def test_packed_env_alternation(setup, tiny_world):
         agent.env = base_env
 
 
-def test_reverie_packed_il_raises():
-    """REVERIE's teacher update is a dual act+obj CE (plan_ref); the
-    packed forward doesn't produce obj logits, so enabling packed IL
-    must fail loudly instead of silently dropping the object loss."""
+# ---------------------------------------------------------------- REVERIE
+@pytest.fixture(scope="module")
+def rsetup():
+    """Tiny REVERIE agent with packed IL enabled (dual-target packs)."""
     from vln_hamt_tpu.agents.reverie import ReverieAgent
+    from vln_hamt_tpu.data.fixtures import (add_synthetic_objects,
+                                            make_synthetic_world)
+    from vln_hamt_tpu.env import ReverieNavEnv
 
-    with pytest.raises(NotImplementedError, match="REVERIE"):
-        ReverieAgent.enable_packed_il(object())
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=12,
+                                 num_items=8, feat_dim=32, seed=1)
+    obj_db, obj2vp = add_synthetic_objects(world, obj_feat_size=24, seed=1)
+    cfg = nodrop_cfg(world, extra_model={"obj_feat_size": 24})
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates,
+                   image_feat_size=cfg.env.image_feat_size)
+    env = ReverieNavEnv(
+        world.graphs, world.feat_db, world.instr_data, spec,
+        batch_size=cfg.train.batch_size,
+        max_instr_len=cfg.env.max_instr_len,
+        max_action_len=cfg.env.max_action_len,
+        seed=0, obj_db=obj_db, obj2viewpoint=obj2vp,
+        max_objects=4, obj_feat_size=24,
+    )
+    agent = ReverieAgent(cfg, env, seed=0)
+    agent.enable_feature_table()
+    agent.enable_packed_il()
+    pack = agent._packer.next_pack()
+    return cfg, env, agent, pack
+
+
+def test_reverie_pack_carries_dual_targets(rsetup):
+    cfg, env, agent, pack = rsetup
+    n_eps = int(pack["n_episodes"])
+    assert n_eps > env.batch_size
+    # dead cells contribute to neither CE
+    assert (pack["teacher"][~pack["live"]] == IGNORE_ID).all()
+    assert (pack["ref_teacher"][~pack["live"]] == IGNORE_ID).all()
+    # each episode's last live cell is the obj-stop action with a live
+    # grounded-object target (the synthetic objId is always present at
+    # the goal viewpoint)
+    for e in range(n_eps):
+        cells = np.argwhere((pack["ep_id"] == e) & pack["live"])
+        s, t_last = cells[np.argmax(cells[:, 1])]
+        if len(cells) < env.max_action_len:
+            assert pack["actions"][s, t_last] == agent.ref_stop
+            assert pack["ref_teacher"][s, t_last] != IGNORE_ID
+
+
+def test_reverie_packed_update_matches_unpacked_grads(rsetup):
+    """grad of the packed dual CE / n_episodes == grad of the unpacked
+    _ref_il_loss over the same episodes (which divides by ITS batch
+    size = the episode count)."""
+    cfg, env, agent, pack = rsetup
+    t_max = env.max_action_len
+    ep, _ = unpack_to_episode_batch(pack, t_max, agent.ref_stop,
+                                    extra_int_keys=("ref_teacher",))
+    rng = jax.random.PRNGKey(5)
+    pack_dev = jax.tree.map(jnp.asarray, pack)
+
+    def packed_loss(params):
+        return agent._packed_il_loss(params, pack_dev, rng, 1.0,
+                                     agent._feat_table,
+                                     agent._obj_tables)[0]
+
+    def unpacked_loss(params):
+        return agent._ref_il_loss(params, agent.state.cparams, ep, rng,
+                                  1.0, agent._feat_table,
+                                  agent._obj_tables)[0]
+
+    lp, gp = jax.value_and_grad(packed_loss)(agent.state.params)
+    lu, gu = jax.value_and_grad(unpacked_loss)(agent.state.params)
+    np.testing.assert_allclose(float(lp), float(lu), rtol=1e-5)
+    flat_p, _ = jax.tree_util.tree_flatten(gp)
+    flat_u, _ = jax.tree_util.tree_flatten(gu)
+    for a, b in zip(flat_p, flat_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_reverie_agent_packed_training_runs(rsetup):
+    cfg, env, agent, pack = rsetup
+    outs = [agent.train_iteration("teacher") for _ in range(2)]
+    assert all(np.isfinite(o["loss"]) for o in outs)
+    total = sum(o["episodes"] for o in outs)
+    assert total > len(outs) * env.batch_size, total

@@ -244,16 +244,20 @@ class HAMTAgent:
         self._packed_il_update = jax.jit(self._packed_il_update_fn)
         self.packed_il = True
 
+    def _make_packer(self, env):
+        """Packed-IL stream factory (variant hook: REVERIE substitutes
+        its dual-target stream)."""
+        from .packing import PackedILStream
+
+        return PackedILStream(env, text_cap=self._packed_text_cap)
+
     @property
     def _packer(self):
         """The current env's packed-IL stream (lazily created)."""
-        from .packing import PackedILStream
-
         key = id(self.env)
         packer = self._packers.get(key)
         if packer is None:
-            packer = PackedILStream(self.env,
-                                    text_cap=self._packed_text_cap)
+            packer = self._make_packer(self.env)
             self._packers[key] = packer
         return packer
 

@@ -53,6 +53,11 @@ class PackedILStream:
       n_episodes () float32 — the loss normalizer.
     """
 
+    #: per-step episode fields packed into the (S, T) grid beyond the
+    #: base schema: {name: (fill_value, dtype)} (subclass hook — the
+    #: REVERIE stream adds the grounded-object targets)
+    extra_step_fields: Dict[str, tuple] = {}
+
     def __init__(self, env, text_cap: Optional[int] = None,
                  max_refills_per_pack: int = 8):
         assert env.feat_offsets is not None, (
@@ -74,16 +79,20 @@ class PackedILStream:
         self.episodes_consumed = 0
 
     # ------------------------------------------------------------ intake
-    def _refill(self) -> None:
+    def _draw(self) -> List[Dict[str, np.ndarray]]:
+        """One env draw -> per-episode dicts, sliced to live length.
+        Subclass hook: the REVERIE stream replaces this with the
+        dual-target teacher loop."""
         ep = self.env.teacher_episode()
         assert ep.node_idx is not None, (
             "packed IL env must be in feature-table (node index) mode")
         lens = ep.step_mask.sum(axis=1).astype(np.int64)
+        out = []
         for i in range(ep.actions.shape[0]):
             l = int(lens[i])
             if l == 0:  # cannot happen (step 0 is always live); guard
                 continue
-            self._queue.append(dict(
+            out.append(dict(
                 txt_ids=np.asarray(ep.txt_ids[i]),
                 txt_mask=np.asarray(ep.txt_mask[i]),
                 node_idx=np.asarray(ep.node_idx[i, :l]),
@@ -93,6 +102,10 @@ class PackedILStream:
                 actions=np.asarray(ep.actions[i, :l]),
                 teacher=np.asarray(ep.teacher[i, :l]),
             ))
+        return out
+
+    def _refill(self) -> None:
+        self._queue.extend(self._draw())
 
     # ------------------------------------------------------------ output
     def next_pack(self) -> Dict[str, np.ndarray]:
@@ -114,6 +127,8 @@ class PackedILStream:
             ep_id=np.zeros((s, t), np.int32),
             local_t=np.zeros((s, t), np.int32),
         )
+        for k, (fill, dtype) in self.extra_step_fields.items():
+            pack[k] = np.full((s, t), fill, dtype)
         # texts of padding rows keep one live token: an all-masked row
         # would softmax over a uniform -10000 field (finite but silly)
         pack["txt_mask"][:, 0] = True
@@ -144,6 +159,8 @@ class PackedILStream:
             pack["cand_ang"][sl] = e["cand_ang"]
             pack["actions"][sl] = e["actions"]
             pack["teacher"][sl] = e["teacher"]
+            for k in self.extra_step_fields:
+                pack[k][sl] = e[k]
             pack["live"][sl] = True
             pack["is_start"][slot, t0] = True
             pack["ep_id"][sl] = n_placed
@@ -159,3 +176,77 @@ class PackedILStream:
         pack["n_episodes"] = np.float32(n_placed)
         self.episodes_consumed += n_placed
         return pack
+
+
+class ReveriePackedILStream(PackedILStream):
+    """Packed stream of REVERIE dual-target teacher episodes.
+
+    Same packing as the base class plus one extra per-cell field:
+    ``ref_teacher`` — the GT object's index among the viewpoint's
+    candidate objects (reverie/agent.py:271-275), IGNORE_ID off the
+    goal viewpoint — so the packed update can apply the dual act+obj CE
+    over exactly the live cells. Episodes are drawn with the agent's
+    teacher loop (``ReverieAgent._ref_teacher_targets``: stop maps to
+    the appended obj-stop slot) instead of ``env.teacher_episode``.
+    Object features stay in the device object tables; cells carry only
+    node rows (the tables are node-aligned with the pano table).
+    """
+
+    extra_step_fields = {"ref_teacher": (IGNORE_ID, np.int32)}
+
+    def __init__(self, env, agent, text_cap: Optional[int] = None,
+                 max_refills_per_pack: int = 8):
+        super().__init__(env, text_cap=text_cap,
+                         max_refills_per_pack=max_refills_per_pack)
+        self.agent = agent
+
+    def _draw(self) -> List[Dict[str, np.ndarray]]:
+        env, agent = self.env, self.agent
+        obs = env.reset()
+        feat_offs = np.array([env.feat_offsets[it["scan"]]
+                              for it in env.batch], np.int64)
+        b = obs.batch_size
+        t_max = env.max_action_len
+        stop = agent.ref_stop
+        txt_ids, txt_mask = env.txt_batch()
+
+        cols: Dict[str, List[np.ndarray]] = {
+            k: [] for k in ("node_idx", "view_index", "cand_point",
+                            "cand_ang", "actions", "teacher",
+                            "ref_teacher")}
+        live_rec: List[np.ndarray] = []
+        ended = np.zeros((b,), bool)
+        for t in range(t_max):
+            teacher_t, ref_t = agent._ref_teacher_targets(obs)
+            live = ~ended
+            live_rec.append(live.copy())
+            cols["node_idx"].append((feat_offs + obs.node).astype(np.int32))
+            cols["view_index"].append(np.asarray(obs.view_index))
+            cols["cand_point"].append(np.asarray(obs.cand_point))
+            cols["cand_ang"].append(np.asarray(obs.cand_ang))
+            cols["actions"].append(
+                np.where(live, teacher_t, stop).astype(np.int32))
+            cols["teacher"].append(
+                np.where(live, teacher_t, IGNORE_ID).astype(np.int32))
+            cols["ref_teacher"].append(
+                np.where(live, ref_t, IGNORE_ID).astype(np.int32))
+            env_actions = np.where(live & (teacher_t < agent.stop_slot),
+                                   teacher_t, -1)
+            ended = ended | (teacher_t == stop)
+            if t + 1 < t_max:
+                obs = env.step(env_actions, obs)
+                if ended.all():
+                    break
+        stacked = {k: np.stack(v, axis=1) for k, v in cols.items()}
+        lens = np.stack(live_rec, axis=1).sum(axis=1).astype(np.int64)
+
+        out = []
+        for i in range(b):
+            l = int(lens[i])
+            if l == 0:  # step 0 is always live; guard
+                continue
+            ep = {k: stacked[k][i, :l].copy() for k in stacked}
+            ep["txt_ids"] = np.asarray(txt_ids[i])
+            ep["txt_mask"] = np.asarray(txt_mask[i])
+            out.append(ep)
+        return out

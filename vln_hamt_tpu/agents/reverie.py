@@ -192,6 +192,112 @@ def build_ref_episode_forward(model: HAMT, critic, cfg, stop_slot: int):
     return episode_forward
 
 
+def build_packed_ref_il_forward(model: HAMT, cfg, stop_slot: int):
+    """Teacher-forced ``plan_ref`` forward over a PACKED episode grid.
+
+    The REVERIE twin of ``rollout.build_packed_il_forward``: several
+    dual-target teacher episodes ride each scan slot back to back
+    (agents/packing.py:ReveriePackedILStream) — per-cell ``ep_id``
+    selects the slot's text encoding, ``is_start`` cells reset the
+    slot's history cache, history tokens are written at the episode-
+    LOCAL position. Object features/positions/masks are node-aligned
+    table gathers and relative object angles come from the (36, 36, A)
+    table, exactly as in ``build_ref_episode_forward``, so per-episode
+    logits match the unpacked scan's (tests/test_packed_il.py).
+
+    Returns packed_forward(params, pack, rng, deterministic, feat_table,
+    obj_tables) -> (logits (T, S, N+1), obj_logits (T, S, O)).
+    """
+    from .rollout import make_expand_obs
+
+    expand_obs = make_expand_obs(36, cfg.angle_feat_size)
+    ang_tab = _obj_angle_table(cfg.angle_feat_size)
+
+    def packed_forward(params, pack, rng, deterministic: bool = False,
+                       feat_table=None, obj_tables=None):
+        pack = dict(pack)
+        ni = pack["node_idx"]  # (S, T)
+        pack["pano_feat"] = feat_table[ni]
+        pack["obj_fts"] = obj_tables["fts"][ni]
+        pack["obj_pos"] = obj_tables["pos"][ni]
+        om = obj_tables["mask"][ni]
+        ov = obj_tables["view"][ni]
+        pack["obj_mask"] = om
+        pack["obj_angs"] = jnp.where(
+            om[..., None], ang_tab[pack["view_index"][..., None], ov], 0.0)
+        s, t_steps = pack["actions"].shape
+        h_max = t_steps + 1
+
+        apply = partial(model.apply, {"params": params})
+        txt_all = apply(pack["txt_ids"], pack["txt_mask"], deterministic,
+                        method=HAMT.encode_text,
+                        rngs={"dropout": jax.random.fold_in(rng, TXT_KEY_SALT)})
+        txt_mask_all = pack["txt_mask"]
+        hist0 = apply(s, deterministic, method=HAMT.init_history,
+                      rngs={"dropout": jax.random.fold_in(rng, HIST0_KEY_SALT)})
+        reset_cache = jnp.zeros((s, h_max, cfg.hidden_size), hist0.dtype)
+        reset_cache = reset_cache.at[:, 0].set(hist0)
+
+        tm = lambda name: jnp.moveaxis(pack[name], 0, 1)
+        xs = dict(
+            pano_feat=tm("pano_feat"), view_index=tm("view_index"),
+            cand_point=tm("cand_point"), cand_ang=tm("cand_ang"),
+            obj_fts=tm("obj_fts"), obj_angs=tm("obj_angs"),
+            obj_pos=tm("obj_pos"), obj_mask=tm("obj_mask"),
+            action=tm("actions"), live=tm("live"), ep_id=tm("ep_id"),
+            local_t=tm("local_t"), is_start=tm("is_start"),
+            key=jax.vmap(lambda t: step_key(rng, t))(jnp.arange(t_steps)),
+        )
+
+        def body(carry, x):
+            hist_cache, hist_len = carry
+            k_plan, _k_critic, k_hist, _ = jax.random.split(x["key"], 4)
+            start = x["is_start"]
+            hist_cache = jnp.where(start[:, None, None], reset_cache,
+                                   hist_cache)
+            hist_len = jnp.where(start, 1, hist_len)
+            if txt_all.ndim == 4:  # no_lang_ca per-layer stack (X+1,E,L,D)
+                txt_e = txt_all[:, x["ep_id"]]
+            else:
+                txt_e = txt_all[x["ep_id"]]
+            txt_m = txt_mask_all[x["ep_id"]]
+            ob = expand_obs(x["pano_feat"], x["view_index"],
+                            x["cand_point"], x["cand_ang"])
+            act_logits, obj_logits, _state = apply(
+                txt_e, txt_m, hist_cache, _hist_mask(hist_len, h_max),
+                ob["ob_img"], ob["ob_ang"], ob["ob_nav"], ob["ob_mask"],
+                x["obj_fts"], x["obj_angs"], x["obj_pos"], x["obj_mask"],
+                deterministic, method=HAMT.plan_ref, rngs={"dropout": k_plan},
+            )
+            logits = _full_logits(act_logits, obj_logits, stop_slot)
+            n_ob = ob["ob_ang"].shape[1]
+            gather_a = jnp.where(x["action"] >= n_ob, stop_slot, x["action"])
+            act_ang = jnp.take_along_axis(
+                ob["ob_ang"], gather_a[:, None, None], axis=1
+            ).squeeze(1)
+            new_tok = apply(
+                ob["hist_img"], act_ang, x["local_t"], ob["pano_img"],
+                ob["pano_ang"], deterministic, method=HAMT.encode_history,
+                rngs={"dropout": k_hist},
+            )
+            pos = x["local_t"] + 1
+            write = ((jnp.arange(h_max)[None, :] == pos[:, None])
+                     & x["live"][:, None])
+            hist_cache = jnp.where(
+                write[:, :, None],
+                new_tok[:, None, :].astype(hist_cache.dtype), hist_cache)
+            hist_len = hist_len + x["live"].astype(jnp.int32)
+            return (hist_cache, hist_len), (logits, obj_logits)
+
+        scan_body = remat_scan_body(body, cfg)
+        hist_len0 = jnp.ones((s,), jnp.int32)
+        _, (logits, obj_logits) = jax.lax.scan(
+            scan_body, (reset_cache, hist_len0), xs)
+        return logits, obj_logits
+
+    return packed_forward
+
+
 class ReverieAgent(HAMTAgent):
     """Joint nav + grounding agent over :class:`ReverieNavEnv`."""
 
@@ -214,11 +320,63 @@ class ReverieAgent(HAMTAgent):
         self._obj_tables = None  # device object tables (feature-table mode)
 
     def enable_packed_il(self, text_cap=None) -> None:
-        raise NotImplementedError(
-            "packed IL is not implemented for REVERIE: the teacher "
-            "update is a dual act+obj CE over the object-grounded "
-            "forward (plan_ref), which the packed forward "
-            "(rollout.py:build_packed_il_forward) does not produce")
+        """Packed IL for REVERIE: dual act+obj CE over the packed
+        ``plan_ref`` forward (``build_packed_ref_il_forward``); episodes
+        carry the extra ``ref_teacher`` grid
+        (packing.py:ReveriePackedILStream). Same estimator per episode
+        as the unpacked ``_ref_il_loss`` (tests/test_packed_il.py).
+        Requires feature-table transport (pano AND object tables)."""
+        assert (self._feat_table is not None
+                and self._obj_tables is not None
+                and self.env.feat_offsets is not None), (
+            "REVERIE packed IL needs feature-table transport "
+            "(enable_feature_table builds the pano + object tables)")
+        self._packed_text_cap = text_cap
+        self._packers: Dict[int, Any] = {}
+        self._packed_il_forward = build_packed_ref_il_forward(
+            self.model, self.cfg.model, self.stop_slot)
+        self._packed_il_update = jax.jit(self._packed_il_update_fn)
+        self.packed_il = True
+
+    def _make_packer(self, env):
+        from .packing import ReveriePackedILStream
+
+        return ReveriePackedILStream(env, self,
+                                     text_cap=self._packed_text_cap)
+
+    def _packed_il_loss(self, params, pack, rng, weight, feat_table,
+                        obj_tables):
+        logits, obj_logits = self._packed_il_forward(
+            params, pack, rng, deterministic=False,
+            feat_table=feat_table, obj_tables=obj_tables)
+        teacher = jnp.moveaxis(pack["teacher"], 0, 1)        # (T, S)
+        ref_teacher = jnp.moveaxis(pack["ref_teacher"], 0, 1)
+        # dual summed CE over the live cells / packed episode count —
+        # the unpacked _ref_il_loss divides the same sums by ITS batch
+        # size (= its episode count)
+        loss = (il_loss(logits, teacher, IGNORE_ID)
+                + il_loss(obj_logits, ref_teacher, IGNORE_ID)) \
+            * weight / pack["n_episodes"]
+        return loss, {"IL_loss": loss}
+
+    def _packed_il_update_fn(self, state_params, state_cparams, opt_state,
+                             copt_state, pack, rng, il_weight,
+                             feat_table=None, obj_tables=None):
+        import optax
+
+        def loss_fn(params, cparams):
+            del cparams  # critic unused by IL; decay-only update below
+            return self._packed_il_loss(params, pack, rng, il_weight,
+                                        feat_table, obj_tables)
+
+        (loss, aux), (gp, gc) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+            state_params, state_cparams)
+        updates, opt_state = self.tx.update(gp, opt_state, state_params)
+        params = optax.apply_updates(state_params, updates)
+        cupdates, copt_state = self.ctx.update(gc, copt_state, state_cparams)
+        cparams = optax.apply_updates(state_cparams, cupdates)
+        return params, cparams, opt_state, copt_state, loss, aux
 
     def enable_feature_table(self, env=None) -> None:
         """Feature-table transport for REVERIE: the pano table plus a
@@ -642,13 +800,27 @@ class ReverieAgent(HAMTAgent):
         st = self.state
         tcfg = self.cfg.train
         if feedback == "teacher":
-            ep = self._ref_teacher_episode()
-            rng = self._next_rng()
-            params, cparams, opt_state, copt_state, loss, aux = (
-                self._ref_il_update(st.params, st.cparams, st.opt_state,
-                                    st.copt_state, ep, rng,
-                                    tcfg.teacher_weight,
-                                    self._feat_table, self._obj_tables))
+            if self.packed_il:
+                pack = self._packer.next_pack()
+                n_eps = int(pack["n_episodes"])
+                pack = self._shard_data(
+                    jax.tree.map(jnp.asarray, pack),
+                    batch_size=self._packer.slots)
+                rng = self._next_rng()
+                (params, cparams, opt_state, copt_state, loss,
+                 aux) = self._packed_il_update(
+                    st.params, st.cparams, st.opt_state, st.copt_state,
+                    pack, rng, tcfg.teacher_weight, self._feat_table,
+                    self._obj_tables)
+                aux = {**aux, "episodes": n_eps}
+            else:
+                ep = self._ref_teacher_episode()
+                rng = self._next_rng()
+                params, cparams, opt_state, copt_state, loss, aux = (
+                    self._ref_il_update(st.params, st.cparams, st.opt_state,
+                                        st.copt_state, ep, rng,
+                                        tcfg.teacher_weight,
+                                        self._feat_table, self._obj_tables))
         elif feedback == "sample":
             il_ep = self._ref_teacher_episode()
             use_device = (self.device_rollout_rewards

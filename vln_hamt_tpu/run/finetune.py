@@ -608,7 +608,9 @@ def parse_args(argv=None):
                         "~T/mean_len more episodes per update at R2R "
                         "lengths, same per-episode estimator "
                         "(tests/test_packed_il.py). Teacher feedback + "
-                        "feature-table transport only.")
+                        "feature-table transport only. REVERIE packs "
+                        "ride the dual act+obj CE "
+                        "(agents/reverie.py:build_packed_ref_il_forward).")
     p.add_argument("--data_shards", type=int, default=None,
                    help="data-parallel mesh axis (batch sharded over "
                         "devices; replaces the reference's DDP ranks)")
