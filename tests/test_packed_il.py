@@ -334,3 +334,42 @@ def test_reverie_agent_packed_training_runs(rsetup):
     assert all(np.isfinite(o["loss"]) for o in outs)
     total = sum(o["episodes"] for o in outs)
     assert total > len(outs) * env.batch_size, total
+
+
+# ------------------------------------------------------------- variants
+@pytest.mark.slow
+@pytest.mark.parametrize("task", ["r2rback", "cvdn"])
+def test_variant_agents_packed_training(task):
+    """R2R-Back and CVDN ride the BASE packed path unchanged: their
+    teacher episodes come from the env (R2RNavEnv.teacher_episode with
+    task-specific teacher logic inside the env), so the packer slices
+    and the packed scan trains them like R2R."""
+    from vln_hamt_tpu.agents import CVDNAgent, R2RBackAgent
+    from vln_hamt_tpu.data.fixtures import (make_synthetic_cvdn_items,
+                                            make_synthetic_r2rback_items,
+                                            make_synthetic_world)
+    from vln_hamt_tpu.env import CVDNNavEnv, R2RBackNavEnv
+
+    world = make_synthetic_world(num_scans=1, nodes_per_scan=12,
+                                 num_items=8, feat_dim=32, seed=3)
+    if task == "r2rback":
+        items = make_synthetic_r2rback_items(world)
+        cfg = nodrop_cfg(world, max_action_len=16)
+        env_cls, agent_cls = R2RBackNavEnv, R2RBackAgent
+    else:
+        items = make_synthetic_cvdn_items(world)
+        cfg = nodrop_cfg(world, max_action_len=10)
+        env_cls, agent_cls = CVDNNavEnv, CVDNAgent
+    spec = ObsSpec(max_candidates=cfg.env.max_candidates,
+                   image_feat_size=cfg.env.image_feat_size)
+    env = env_cls(world.graphs, world.feat_db, items, spec,
+                  batch_size=cfg.train.batch_size,
+                  max_instr_len=cfg.env.max_instr_len,
+                  max_action_len=cfg.env.max_action_len, seed=0)
+    agent = agent_cls(cfg, env, seed=0)
+    agent.enable_feature_table()
+    agent.enable_packed_il()
+    outs = [agent.train_iteration("teacher") for _ in range(2)]
+    assert all(np.isfinite(o["loss"]) for o in outs)
+    total = sum(o["episodes"] for o in outs)
+    assert total > len(outs) * env.batch_size, total
